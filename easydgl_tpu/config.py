@@ -1,0 +1,175 @@
+"""Configuration system for the TPU-native sequential recommendation framework.
+
+Replaces the reference's argparse flag namespaces (reference: src/main.py:22-75,
+src/analytics.py:23-67) and the per-model shell launch configs (reference:
+runme.sh:15-115) with a single typed dataclass plus per-model presets.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout: `data` is the DP axis, `model` shards the
+    item-embedding/softmax tables by rows (vocab dim).
+
+    The reference is single-GPU with no parallelism (SURVEY.md §2.6); these are
+    new, first-class components of the TPU build.
+    """
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 means "use all devices on that axis"; (dp, mp) product must divide
+    # the device count.
+    dp: int = -1
+    mp: int = 1
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer settings.
+
+    Defaults mirror the reference's plain Adam path (src/model/Base.py:142-144).
+    GRU models use beta2=0.98, eps=1e-9 and global-norm clip 5.0
+    (src/model/GRU4REC.py:60-71, src/model/S2PNM.py:80-90).
+    The `adamw_warmup` name mirrors src/optimization.py:27-84 (unused by the
+    reference default path but part of its API surface).
+    """
+    name: str = "adam"  # adam | adamw_warmup
+    learning_rate: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    clip_norm: float = 0.0            # 0 = no clipping
+    weight_decay: float = 0.01        # adamw only
+    num_train_steps: int = 100000     # adamw schedule horizon
+    num_warmup_steps: int = 10000     # adamw linear warmup
+
+
+@dataclass(frozen=True)
+class Config:
+    """Full experiment configuration (model + data + optim + eval + mesh)."""
+    model: str = "EasyDGL"
+    num_items: int = 17771            # catalog size incl. the padding id 0
+    seqslen: int = 30                 # model sequence length (runme.sh --seqslen)
+
+    # --- architecture (reference flags src/main.py:35-39)
+    num_units: int = 512
+    num_heads: int = 8
+    num_blocks: int = 1
+
+    # --- temporal
+    time_scale: float = 1.0           # divide raw timestamps (src/main.py:42)
+    timelen: int = 256                # TiSASREC interval buckets (src/main.py:52)
+    window_ratio: float = 0.2         # TimelyREC (src/main.py:55)
+
+    # --- masking (BERT-style pipelines, src/main.py:45)
+    masklen: int = 6
+
+    # --- GREC (src/main.py:48-49)
+    filter_width: int = 3
+    dilations: Tuple[int, ...] = (1, 2, 2, 4)
+
+    # --- CTSMA / EasyDGL TPP
+    ct_reg: float = 0.0               # TPP likelihood weight (src/main.py:59)
+    num_events: int = 0               # event-mark vocabulary (0 = from mark table)
+
+    # --- regularization / dropout
+    l2_reg: float = 0.0
+    hidden_dropout_rate: float = 0.0
+    attention_probs_dropout_rate: float = 0.0
+
+    # --- optimization
+    batch_size: int = 512
+    num_epochs: int = 100
+    optim: OptimConfig = field(default_factory=OptimConfig)
+
+    # --- evaluation (src/model/Base.py:150-207)
+    mask_seen: bool = False
+    eval_per_steps: int = 1
+    patience: int = 10                # EarlyStopping (src/util.py:16)
+    topk: Tuple[int, ...] = (10, 50, 100)
+
+    # --- runtime
+    seed: int = 9876                  # reference seed (src/main.py:157)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"    # set "bfloat16" for throughput runs
+    use_pallas: Optional[bool] = None  # None = auto (True on TPU)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def head_dim(self) -> int:
+        assert self.num_units % self.num_heads == 0
+        return self.num_units // self.num_heads
+
+
+def _p(model: str, **kw) -> Config:
+    optim_kw = {}
+    for k in ("learning_rate", "beta2", "eps", "clip_norm"):
+        if k in kw:
+            optim_kw[k] = kw.pop(k)
+    cfg = Config(model=model, **kw)
+    if optim_kw:
+        cfg = cfg.replace(optim=dataclasses.replace(cfg.optim, **optim_kw))
+    return cfg
+
+
+# Per-model presets reproducing the published Netflix table; values transcribed
+# from the reference launch script (runme.sh:15-115). TGREC is not present in
+# runme.sh; its preset mirrors the argparse defaults (src/main.py:35-75).
+PRESETS = {
+    "EasyDGL": _p("EasyDGL", num_units=512, hidden_dropout_rate=0.1,
+                  attention_probs_dropout_rate=0.1, learning_rate=5e-4,
+                  batch_size=512, l2_reg=1e-4, ct_reg=1e-7, num_blocks=1,
+                  num_heads=8, mask_seen=True, time_scale=86400.0),
+    "BERT4REC": _p("BERT4REC", num_units=512, hidden_dropout_rate=0.2,
+                   attention_probs_dropout_rate=0.2, learning_rate=5e-5,
+                   batch_size=512, l2_reg=1e-4, num_blocks=3, num_heads=8,
+                   mask_seen=True),
+    "SASREC": _p("SASREC", num_units=512, hidden_dropout_rate=0.0,
+                 attention_probs_dropout_rate=0.0, learning_rate=5e-4,
+                 batch_size=512, l2_reg=0.0, num_blocks=2, num_heads=8,
+                 mask_seen=True),
+    "S2PNM": _p("S2PNM", num_units=512, hidden_dropout_rate=0.2,
+                attention_probs_dropout_rate=0.2, learning_rate=1e-4,
+                batch_size=512, l2_reg=1e-4, num_blocks=1, num_heads=1,
+                mask_seen=True, beta2=0.98, eps=1e-9, clip_norm=5.0),
+    "GRU4REC": _p("GRU4REC", num_units=512, hidden_dropout_rate=0.1,
+                  learning_rate=5e-4, batch_size=512, l2_reg=1e-4,
+                  num_blocks=1, mask_seen=True, beta2=0.98, eps=1e-9,
+                  clip_norm=5.0),
+    "GREC": _p("GREC", num_units=512, hidden_dropout_rate=0.1,
+               learning_rate=5e-4, batch_size=512, l2_reg=1e-4,
+               dilations=(1, 4, 1, 4), mask_seen=True),
+    "TGAT": _p("TGAT", num_units=512, hidden_dropout_rate=0.1,
+               attention_probs_dropout_rate=0.1, learning_rate=5e-5,
+               batch_size=512, l2_reg=1e-4, num_blocks=3, num_heads=1,
+               mask_seen=True, time_scale=86400.0),
+    "TiSASREC": _p("TiSASREC", num_units=512, hidden_dropout_rate=0.1,
+                   attention_probs_dropout_rate=0.1, learning_rate=5e-4,
+                   batch_size=512, l2_reg=1e-4, timelen=256, num_blocks=2,
+                   num_heads=8, mask_seen=True, time_scale=86400.0),
+    "TimelyREC": _p("TimelyREC", num_units=512, hidden_dropout_rate=0.1,
+                    attention_probs_dropout_rate=0.1, learning_rate=1e-3,
+                    batch_size=512, l2_reg=1e-4, num_blocks=2, num_heads=4,
+                    mask_seen=True, time_scale=86400.0),
+    "CTSMA": _p("CTSMA", num_units=512, hidden_dropout_rate=0.1,
+                attention_probs_dropout_rate=0.2, learning_rate=5e-4,
+                batch_size=512, l2_reg=1e-4, ct_reg=1e-7, num_blocks=2,
+                num_heads=4, mask_seen=True, time_scale=86400.0),
+    "TGREC": _p("TGREC", num_units=50, num_heads=1, num_blocks=3,
+                learning_rate=1e-3, batch_size=128, l2_reg=0.0,
+                mask_seen=True, time_scale=86400.0),
+}
+
+
+def preset(model: str, **overrides) -> Config:
+    cfg = PRESETS[model]
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg

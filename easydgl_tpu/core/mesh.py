@@ -1,0 +1,55 @@
+"""Device mesh & sharding helpers.
+
+The reference has no parallelism (SURVEY.md §2.6: single process, single GPU,
+dormant horovod env var at src/main.py:165). The TPU build makes the mesh a
+first-class runtime object: axis "data" for data parallelism, axis "model" for
+row-sharding the item-embedding/softmax tables, with XLA collectives over
+ICI/DCN doing the NCCL-equivalent work.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from easydgl_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    """Build a (data, model) mesh over all (or given) devices.
+
+    dp/mp of -1 are resolved so dp*mp == len(devices), preferring to grow the
+    data axis (dense towers are replicated; table shards ride the model axis).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    dp, mp = cfg.dp, cfg.mp
+    if mp == -1 and dp == -1:
+        dp, mp = n, 1
+    elif dp == -1:
+        assert n % mp == 0, f"{n} devices not divisible by mp={mp}"
+        dp = n // mp
+    elif mp == -1:
+        assert n % dp == 0, f"{n} devices not divisible by dp={dp}"
+        mp = n // dp
+    assert dp * mp == n, f"dp*mp={dp*mp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, (cfg.data_axis, cfg.model_axis))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-sharded along the data axis."""
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def table_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-sharded embedding / softmax table: vocab dim over the model axis."""
+    return NamedSharding(mesh, P(mesh.axis_names[1], None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh(MeshConfig(dp=1, mp=1), devices=jax.devices()[:1])

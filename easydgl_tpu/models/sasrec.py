@@ -1,0 +1,56 @@
+"""SASRec: self-attentive sequential recommendation (ICDM'18).
+
+Parity with reference src/model/SASREC.py:
+* item embedding (zero-pad, sqrt(d) scale) + CONCAT position coding -> the
+  first block consumes 2C-wide inputs (SASREC.py:43-44);
+* N pre-LN blocks: ``x = MHA(LN(x), x, causal)`` then ``x = FFN(LN(x))``
+  followed by the padding re-mask (SASREC.py:53-60);
+* the LNs are the contrib variant normalizing over (T, C) jointly
+  (Base.py:12-67);
+* final LN, last-position rows at eval, tied-softmax logits + biased item 0.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from easydgl_tpu.models.base import (OutputBias, SequentialModel,
+                                     prediction_rows, tied_logits)
+from easydgl_tpu.nn.attention import MultiHeadAttention
+from easydgl_tpu.nn.coding import Embedding, PositionCoding
+from easydgl_tpu.nn.layers import ContribLayerNorm, FeedForward
+
+
+class SASREC(SequentialModel):
+    data_mode: str = "regressive"
+    loss_mode: str = "softmax_eps"
+
+    @nn.compact
+    def __call__(self, features, *, is_training: bool):
+        cfg = self.cfg
+        ids = features["seqs_i"]
+        item_embs = Embedding(cfg.num_items, cfg.num_units, zero_pad=True,
+                              scale=True, name="item_embs")
+        x = item_embs(ids)
+        x = PositionCoding(cfg.seqslen, cfg.num_units, name="pcoding")(x)
+        x = nn.Dropout(cfg.hidden_dropout_rate,
+                       deterministic=not is_training)(x)
+        mask = (ids != 0).astype(x.dtype)[:, :, None]
+        x = x * mask
+
+        for i in range(cfg.num_blocks):
+            attn = MultiHeadAttention(cfg.num_units, cfg.num_heads,
+                                      cfg.attention_probs_dropout_rate,
+                                      name=f"block{i}_attn")
+            ffn = FeedForward((cfg.num_units, cfg.num_units),
+                              cfg.hidden_dropout_rate, name=f"block{i}_ffn")
+            x = attn(ContribLayerNorm(name=f"block{i}_ln0")(x), x,
+                     deterministic=not is_training, causality=True)
+            x = ffn(ContribLayerNorm(name=f"block{i}_ln1")(x),
+                    deterministic=not is_training)
+            x = x * mask
+
+        x = ContribLayerNorm(name="out_ln")(x)
+        hidden = prediction_rows(x, is_training)
+        bias = OutputBias(cfg.num_items, name="out_bias")()
+        return tied_logits(hidden, item_embs.table(), bias), {}

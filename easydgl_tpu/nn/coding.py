@@ -1,0 +1,125 @@
+"""Embedding & time-coding modules.
+
+Parity notes vs reference ``src/module/coding.py``:
+
+* ``Embedding`` — lookup table with optional zero row 0 (``coding.py:56-57``),
+  optional sqrt(d) scaling (``coding.py:62-63``). L2 regularization is NOT
+  applied here; the training loss adds ``l2_reg * 0.5 * sum(w^2)`` over every
+  parameter named ``lookup_table`` (mirroring the regularizer hook at
+  ``coding.py:48``, which the reference attaches to every Embedding it builds
+  with a non-zero ``l2_reg``).
+* ``PositionCoding`` — learned absolute positions; ``__call__`` CONCATS the
+  coding onto the input (doubling the width — this is load-bearing for
+  SASREC/S2PNM/CTSMA whose first block consumes 2C-wide inputs and residuals
+  take ``queries[:, :, :C]``); ``code`` returns the raw coding
+  (``coding.py:67-79``).
+* ``TimeIntervalCoding`` — embedding over clipped integer interval buckets
+  (``coding.py:82-94``, TiSASREC).
+* ``TimeFunctionCoding`` — learnable Bochner features ``cos(t*w + phi)`` with
+  ``w`` init ``linspace(0, 9, d)`` (``coding.py:97-122``, TGAT/TGREC).
+* ``TimeSinusoidCoding`` — fixed interleaved sin/cos with ``10000^(2i/d)``
+  scaling (``coding.py:125-149``, TimelyREC/EasyDGL).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from easydgl_tpu.nn.layers import glorot
+
+
+class Embedding(nn.Module):
+    vocab_size: int
+    num_units: int
+    zero_pad: bool = True
+    scale: bool = True
+    init: Optional[object] = None  # default: glorot-uniform (TF get_variable)
+
+    def setup(self):
+        self.lookup_table = self.param(
+            "lookup_table", self.init or glorot(),
+            (self.vocab_size, self.num_units))
+
+    def table(self) -> jnp.ndarray:
+        """The (optionally zero-padded) table used for lookups AND tied
+        softmax scoring (reference zeroes row 0 of the tensor, not the
+        variable: coding.py:56-57)."""
+        t = self.lookup_table
+        if self.zero_pad:
+            row_mask = (jnp.arange(self.vocab_size) != 0).astype(t.dtype)
+            t = t * row_mask[:, None]
+        return t
+
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        out = jnp.take(self.table(), ids, axis=0)
+        if self.scale:
+            out = out * (self.num_units ** 0.5)
+        return out
+
+
+class PositionCoding(nn.Module):
+    """Learned absolute position embeddings (reference coding.py:67-79)."""
+    vocab_size: int   # max sequence length
+    num_units: int
+
+    def setup(self):
+        self.pembs = Embedding(self.vocab_size, self.num_units,
+                               zero_pad=False, scale=False, name="pembs")
+
+    def code(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        """inputs: (B, T, ...) — only B and T are used."""
+        b, t = inputs.shape[0], inputs.shape[1]
+        pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+        return self.pembs(pos)
+
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        return jnp.concatenate([inputs, self.code(inputs)], axis=-1)
+
+
+class TimeIntervalCoding(nn.Module):
+    """Embedding over integer Δt buckets (reference coding.py:82-94)."""
+    vocab_size: int
+    num_units: int
+
+    def setup(self):
+        self.pembs = Embedding(self.vocab_size, self.num_units,
+                               zero_pad=False, scale=False, name="pembs")
+
+    def code(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        return self.pembs(inputs)
+
+
+class TimeFunctionCoding(nn.Module):
+    """Learnable Bochner time features cos(t*w + phi) (coding.py:97-122)."""
+    num_units: int
+
+    def setup(self):
+        d = self.num_units
+        self.basis_freq = self.param(
+            "basis_freq",
+            lambda key, shape: jnp.asarray(np.linspace(0, 9, d), jnp.float32),
+            (d,))
+        self.phase = self.param("phase", nn.initializers.zeros, (d,))
+
+    def code(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        """inputs: (B, T) or (B, Tq, Tk) -> (..., num_units)."""
+        x = inputs.astype(jnp.float32)
+        if x.ndim == 2:
+            x = x[:, :, None]  # (B, T, 1) — reference reshapes to (B,T,-1)
+        return jnp.cos(x[..., None] * self.basis_freq + self.phase)
+
+
+class TimeSinusoidCoding(nn.Module):
+    """Fixed interleaved sin/cos coding (coding.py:125-149); no params."""
+    num_units: int
+
+    def code(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        """inputs: (B, T) float -> (B, T, num_units)."""
+        d = self.num_units
+        scale = np.power(10000.0, np.arange(0, d, 2) / d).astype(np.float32)
+        x = inputs.astype(jnp.float32)[:, :, None] / scale  # (B, T, d//2)
+        code = jnp.stack([jnp.sin(x), jnp.cos(x)], axis=-1)  # (B, T, d//2, 2)
+        return code.reshape(inputs.shape[0], inputs.shape[1], d)

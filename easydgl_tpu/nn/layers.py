@@ -1,0 +1,120 @@
+"""Core NN building blocks.
+
+Parity notes vs the reference:
+
+* ``ContribLayerNorm`` reproduces ``src/model/Base.py:12-67``: moments are
+  taken over ALL axes except batch (TF-contrib ``begin_norm_axis=1``) while
+  the beta/gamma parameters cover only the last axis; eps = 1e-12 for fp32.
+  This is NOT a standard last-axis LayerNorm — SASREC/BERT4REC/CTSMA/EasyDGL
+  all normalize over (T, C) jointly via this function.
+* ``LastAxisLayerNorm`` reproduces ``src/module/normalize.py:9-19``:
+  last-axis moments, eps = 1e-8 (used by MaskedCNN and TgMultiHeadAttention).
+* ``FeedForward`` reproduces ``src/model/Base.py:70-87``: two width-1 convs
+  (== dense layers) with relu/none activations, dropout after each, residual.
+* Dense layers default to glorot-uniform kernels / zero bias (the TF1
+  ``tf.layers.dense`` defaults), not flax's lecun-normal.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# TF1 tf.layers.dense / tf.get_variable defaults.
+glorot = nn.initializers.glorot_uniform
+truncated_normal = nn.initializers.truncated_normal
+
+
+def Dense(features: int, use_bias: bool = True, kernel_init=None,
+          name: Optional[str] = None, dtype=None) -> nn.Dense:
+    """tf.layers.dense equivalent (glorot-uniform kernel, zero bias)."""
+    return nn.Dense(features, use_bias=use_bias,
+                    kernel_init=kernel_init or glorot(),
+                    bias_init=nn.initializers.zeros, name=name, dtype=dtype)
+
+
+def gelu_exact(x):
+    """Erf-based GELU (reference: src/model/BERT4REC.py:12-24)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def gelu_tanh(x):
+    """Tanh-approximate GELU (reference: src/model/GREC.py:14-26)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+class ContribLayerNorm(nn.Module):
+    """TF-contrib-style LN: moments over all non-batch axes, params on last.
+
+    Reference: src/model/Base.py:12-67 (begin_norm_axis=1,
+    begin_params_axis=-1, variance_epsilon=1e-12 for fp32).
+    """
+    epsilon: float = 1e-12
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        beta = self.param("beta", nn.initializers.zeros, (dim,))
+        gamma = self.param("gamma", nn.initializers.ones, (dim,))
+        norm_axes = tuple(range(1, x.ndim))
+        mean = jnp.mean(x, axis=norm_axes, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=norm_axes, keepdims=True)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        # tf.nn.batch_normalization: (x - mean) * inv * gamma + beta
+        return (x - mean) * inv * gamma + beta
+
+
+class LastAxisLayerNorm(nn.Module):
+    """Simple last-axis LN (reference: src/module/normalize.py:9-19, eps 1e-8)."""
+    epsilon: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        beta = self.param("beta", nn.initializers.zeros, (dim,))
+        gamma = self.param("gamma", nn.initializers.ones, (dim,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        x = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return gamma * x + beta
+
+
+class FeedForward(nn.Module):
+    """Two width-1 convs (== Dense) + dropout + residual.
+
+    Reference: src/model/Base.py:70-87.
+    """
+    num_units: Sequence[int]
+    dropout_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        h = Dense(self.num_units[0], name="inner")(x)
+        h = jax.nn.relu(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        h = Dense(self.num_units[1], name="readout")(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        return h + x
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, T, C) -> (B, H, T, C/H).
+
+    Matches the reference's concat-on-batch head split
+    (src/module/sequential.py:39-41): head h sees channel block
+    [h*C/H : (h+1)*C/H].
+    """
+    b, t, c = x.shape
+    return x.reshape(b, t, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, T, D) -> (B, T, H*D), inverse of split_heads."""
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+NEG_INF_LOGIT = -(2.0 ** 32) + 1.0  # reference mask value (sequential.py:54)

@@ -1,0 +1,81 @@
+"""TPU-native GRU replacing the vendored cuDNN GRU.
+
+The reference wraps TF's native CUDA kernel (src/model/compat/cudnn_rnn.py:567
+-> gen_cudnn_rnn_ops, cudnn_rnn_ops.py:1132-1145). The cuDNN GRU is NOT the
+textbook GRU (documented at cudnn_rnn_ops.py:81-116): the reset gate is
+applied AFTER the candidate's recurrent matmul, and there are two bias
+vectors:
+
+    r  = sigmoid(x W_r + h R_r + bW_r + bR_r)
+    u  = sigmoid(x W_u + h R_u + bW_u + bR_u)
+    h' = tanh(x W_h + bW_h + r * (h R_h + bR_h))
+    h  = (1 - u) * h' + u * h
+
+TPU design: the input projections ``x @ [W_r|W_u|W_h]`` for ALL timesteps are
+one large MXU matmul hoisted out of the recurrence; ``lax.scan`` then carries
+only the (B, C) state with a per-step (C, 3C) recurrent matmul. Weights are a
+plain pytree (no opaque-buffer canonicalization layer needed — the reference's
+CudnnOpaqueParamsSaveable, cudnn_rnn_ops.py:724-908, exists only because
+cuDNN's buffer is opaque).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class CudnnGRU(nn.Module):
+    """Multi-layer unidirectional GRU with cuDNN gate math.
+
+    Replaces reference cudnn_rnn.CudnnGRU (GRU4REC.py:27-29, S2PNM.py:29-31);
+    kernel init orthogonal, matching the reference's
+    ``kernel_initializer=tf.orthogonal_initializer()``.
+    """
+    num_layers: int
+    num_units: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 h0: jnp.ndarray | None = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """x: (B, T, C_in) batch-major (the time-major transpose the
+        reference does at GRU4REC.py:44-45 is an implementation detail of
+        cuDNN; we keep batch-major and scan over time).
+
+        Returns (outputs (B, T, C), final_state (L, B, C)).
+        """
+        b, t, _ = x.shape
+        c = self.num_units
+        orth = nn.initializers.orthogonal()
+        finals = []
+        for layer in range(self.num_layers):
+            in_c = x.shape[-1]
+            w = self.param(f"w_{layer}", orth, (in_c, 3 * c))
+            r = self.param(f"r_{layer}", orth, (c, 3 * c))
+            bw = self.param(f"bw_{layer}", nn.initializers.zeros, (3 * c,))
+            br = self.param(f"br_{layer}", nn.initializers.zeros, (3 * c,))
+
+            # Hoist all input projections into one MXU matmul: (B, T, 3C)
+            xw = jnp.einsum("btc,cd->btd", x, w,
+                            preferred_element_type=jnp.float32) + bw
+
+            init = (h0[layer] if h0 is not None
+                    else jnp.zeros((b, c), xw.dtype))
+
+            def step(h, xw_t, r=r, br=br, c=c):
+                hr = h @ r + br                      # (B, 3C)
+                xr_g, xu_g, xh_g = jnp.split(xw_t, 3, axis=-1)
+                hr_g, hu_g, hh_g = jnp.split(hr, 3, axis=-1)
+                rg = jax.nn.sigmoid(xr_g + hr_g)
+                ug = jax.nn.sigmoid(xu_g + hu_g)
+                cand = jnp.tanh(xh_g + rg * hh_g)    # cuDNN variant
+                h_new = (1.0 - ug) * cand + ug * h
+                return h_new, h_new
+
+            final, outs = jax.lax.scan(step, init, xw.transpose(1, 0, 2))
+            x = outs.transpose(1, 0, 2)              # (B, T, C)
+            finals.append(final)
+        return x, jnp.stack(finals)

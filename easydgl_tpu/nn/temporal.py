@@ -1,0 +1,311 @@
+"""Continuous-time attention modules.
+
+Parity notes vs reference ``src/module/temporal.py``:
+
+* ``TiMultiHeadAttention`` (temporal.py:15-105, TiSASREC) — attention logits
+  get two additive relative biases (``Q @ K_pos^T`` and ``einsum(Q, K_int)``,
+  ``:55-59``) and values get two additive relative values (``:93-97``); the
+  post-softmax query-mask multiply (``:84-88``) zeroes padded query rows.
+* ``TfMultiHeadAttention`` (temporal.py:108-184, TGAT) — same logit biases,
+  plain values.
+* ``TgMultiHeadAttention`` (temporal.py:187-264, TGREC) — per-(q,k)
+  time-coded keys concatenated with item states; output is a 2C-wide
+  dense+residual+LN over the concatenated query.
+* ``MAU`` / ``BiMAU`` / ``MGAU`` (temporal.py:267-508, CTSMA/EasyDGL) —
+  self-modulating attention: a 4th projection T feeds a Hawkes-style
+  intensity head; attention probs are modulated elementwise by the per-(q,k)
+  mark intensity. ``BiMAU`` is bidirectional with the intensity diagonal
+  reset to 1 (``:438-439``); ``MGAU`` is the gated variant (defined but
+  unused by any reference model).
+
+The position/interval codings are computed ONCE by the model and passed in as
+tensors (the reference shares the coding variables across blocks by passing
+module objects; computing the codes up front is the functional equivalent and
+avoids per-block recompute).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from easydgl_tpu.nn.layers import (Dense, NEG_INF_LOGIT, glorot, merge_heads,
+                                   split_heads)
+
+# reference WEIGHT_INITIALIZER = tf.random_normal_initializer(stddev=0.02)
+normal002 = nn.initializers.normal(stddev=0.02)
+
+
+def _mask_logits(logits, key_mask, causal):
+    if key_mask is not None:
+        logits = jnp.where(key_mask.astype(bool)[:, None, None, :],
+                           logits, NEG_INF_LOGIT)
+    if causal:
+        tq, tk = logits.shape[-2], logits.shape[-1]
+        tril = jnp.tril(jnp.ones((tq, tk), bool))
+        logits = jnp.where(tril[None, None], logits, NEG_INF_LOGIT)
+    return logits
+
+
+def _split_heads_4d(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, Tq, Tk, C) -> (B, H, Tq, Tk, C/H), channel-block head split."""
+    b, tq, tk, c = x.shape
+    return x.reshape(b, tq, tk, num_heads, c // num_heads).transpose(0, 3, 1, 2, 4)
+
+
+class TiMultiHeadAttention(nn.Module):
+    """Time-interval-aware attention (reference temporal.py:15-105)."""
+    num_units: int
+    num_heads: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, queries, keys, k_pos, v_pos, k_int, v_int, *,
+                 deterministic: bool, causality: bool):
+        """k_pos/v_pos: (B, T, C) position codes; k_int/v_int: (B, Tq, Tk, C)
+        interval codes (shared tables, computed once by the model)."""
+        h = self.num_heads
+        q = split_heads(Dense(self.num_units, name="q")(queries), h)
+        k = split_heads(Dense(self.num_units, name="k")(keys), h)
+        v = split_heads(Dense(self.num_units, name="v")(keys), h)
+        kp = split_heads(k_pos, h)
+        vp = split_heads(v_pos, h)
+        ki = _split_heads_4d(k_int, h)
+        vi = _split_heads_4d(v_int, h)
+        d = q.shape[-1]
+
+        logits = (jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                             preferred_element_type=jnp.float32)
+                  + jnp.einsum("bhqd,bhkd->bhqk", q, kp,
+                               preferred_element_type=jnp.float32)
+                  + jnp.einsum("bhqkd,bhqd->bhqk", ki, q,
+                               preferred_element_type=jnp.float32))
+        logits = logits / (d ** 0.5)
+        key_mask = jnp.sign(jnp.sum(jnp.abs(keys), axis=-1))  # temporal.py:65
+        logits = _mask_logits(logits, key_mask, causality)
+        probs = jax.nn.softmax(logits, axis=-1)
+
+        # post-softmax query masking (temporal.py:84-88)
+        query_mask = jnp.sign(jnp.sum(jnp.abs(queries), axis=-1))  # (B, Tq)
+        probs = probs * query_mask[:, None, :, None]
+        probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
+
+        out = (jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bhqk,bhkd->bhqd", probs, vp,
+                            preferred_element_type=jnp.float32)
+               + jnp.einsum("bhqk,bhqkd->bhqd", probs, vi,
+                            preferred_element_type=jnp.float32))
+        return merge_heads(out) + queries
+
+
+class TfMultiHeadAttention(nn.Module):
+    """Functional-time-encoding attention (reference temporal.py:108-184)."""
+    num_units: int
+    num_heads: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, queries, keys, k_pos, k_int, *,
+                 deterministic: bool, causality: bool):
+        h = self.num_heads
+        q = split_heads(Dense(self.num_units, name="q")(queries), h)
+        k = split_heads(Dense(self.num_units, name="k")(keys), h)
+        v = split_heads(Dense(self.num_units, name="v")(keys), h)
+        kp = split_heads(k_pos, h)
+        ki = _split_heads_4d(k_int, h)
+        d = q.shape[-1]
+
+        logits = (jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                             preferred_element_type=jnp.float32)
+                  + jnp.einsum("bhqd,bhkd->bhqk", q, kp,
+                               preferred_element_type=jnp.float32)
+                  + jnp.einsum("bhqkd,bhqd->bhqk", ki, q,
+                               preferred_element_type=jnp.float32))
+        logits = logits / (d ** 0.5)
+        key_mask = jnp.sign(jnp.sum(jnp.abs(keys), axis=-1))
+        logits = _mask_logits(logits, key_mask, causality)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                         preferred_element_type=jnp.float32)
+        return merge_heads(out) + queries
+
+
+class TgMultiHeadAttention(nn.Module):
+    """Temporal-graph collaborative attention (reference temporal.py:187-264).
+
+    Output width is 2*num_units (dense over merged heads + residual with the
+    time-concatenated query + last-axis LN, temporal.py:261-263).
+    """
+    num_units: int
+    num_heads: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, queries, keys, key_mask, q_time, k_time, *,
+                 deterministic: bool, causality: bool):
+        """q_time: (B, Tq, 1, C) coding at Δt=0; k_time: (B, Tq, Tk, C)."""
+        from easydgl_tpu.nn.layers import LastAxisLayerNorm
+        h = self.num_heads
+        b, tq, c = queries.shape
+        tk = keys.shape[1]
+
+        q4 = jnp.concatenate([queries[:, :, None, :], q_time], axis=-1)
+        k4 = jnp.concatenate(
+            [jnp.broadcast_to(keys[:, None, :, :], (b, tq, tk, c)), k_time],
+            axis=-1)  # (B, Tq, Tk, 2C)
+
+        q = _split_heads_4d(Dense(self.num_units, name="q")(q4), h)  # (B,H,Tq,1,d)
+        k = _split_heads_4d(Dense(self.num_units, name="k")(k4), h)  # (B,H,Tq,Tk,d)
+        v = _split_heads_4d(Dense(self.num_units, name="v")(k4), h)
+        d = q.shape[-1]
+
+        logits = jnp.einsum("bhqod,bhqkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / (d ** 0.5)
+        logits = _mask_logits(logits, key_mask, causality)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
+        out = jnp.einsum("bhqk,bhqkd->bhqd", probs, v,
+                         preferred_element_type=jnp.float32)
+        out = merge_heads(out)  # (B, Tq, C)
+
+        out = Dense(2 * self.num_units, name="merge")(out)
+        out = out + q4[:, :, 0, :]  # residual with (B, Tq, 2C) query
+        return LastAxisLayerNorm(name="ln")(out)
+
+
+class MAU(nn.Module):
+    """Self-modulating attention unit (reference temporal.py:267-390).
+
+    Returns (outputs, mark_intensity) where mark_intensity is
+    (B, H, Tq, E) — per-head intensities for every event type, consumed by
+    the TPP regularizer (``biased_likelihood``).
+    """
+    num_units: int
+    num_heads: int
+    num_events: int
+    dropout_rate: float = 0.0
+    fused_qkvt: bool = False          # BiMAU/MGAU: single 4C projection
+    causal_default: bool = True
+    diag_reset: bool = False          # BiMAU: intensity diagonal := 1
+
+    def setup(self):
+        if self.fused_qkvt:
+            self.qkvt = Dense(4 * self.num_units, kernel_init=normal002,
+                              name="qkvt")
+        else:
+            self.q_proj = Dense(self.num_units, name="q")
+            self.k_proj = Dense(self.num_units, name="k")
+            self.v_proj = Dense(self.num_units, name="v")
+            self.t_proj = Dense(self.num_units, name="t")
+        dh = self.num_units // self.num_heads
+        # intensity head (reference temporal.py:281-315): shared dense over
+        # heads, per-event readout weight + learned log-scaling temperature.
+        self.intensity_dense = Dense(dh * self.num_events, name="intensity_dense")
+        self.intensity_weight = self.param(
+            "intensity_weight", glorot(), (self.num_events, dh))
+        self.intensity_scaling = self.param(
+            "intensity_scaling", nn.initializers.zeros, (self.num_events,))
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def intensity(self, h_units: jnp.ndarray, intervals: jnp.ndarray,
+                  mark_onehot: jnp.ndarray):
+        """h_units: (B, H, Tq, dh); intervals: (B, Tq); mark_onehot: (B, Tk, E).
+
+        Returns (intensity_qk (B,H,Tq,Tk), mark_intensity (B,H,Tq,E)).
+        The scaled softplus ``s * log(1 + exp(x / s))`` with ``s = exp(p)``
+        reproduces temporal.py:299-306.
+        """
+        b, h, tq, dh = h_units.shape
+        e = self.num_events
+        iv = jnp.broadcast_to(intervals[:, None, :, None], (b, h, tq, 1))
+        x = jnp.concatenate([h_units, iv.astype(h_units.dtype)], axis=-1)
+        x = jax.nn.sigmoid(self.intensity_dense(x))     # (B,H,Tq,dh*E)
+        x = x.reshape(b, h, tq, e, dh)                  # event-major split
+        raw = jnp.einsum("bhqed,ed->bhqe", x, self.intensity_weight,
+                         preferred_element_type=jnp.float32)
+        s = jnp.exp(self.intensity_scaling)             # (E,)
+        mark_intensity = s * jax.nn.softplus(raw / s)   # (B,H,Tq,E)
+        intensity_qk = jnp.einsum("bhqe,bke->bhqk", mark_intensity,
+                                  mark_onehot.astype(mark_intensity.dtype),
+                                  preferred_element_type=jnp.float32)
+        return intensity_qk, mark_intensity
+
+    @staticmethod
+    def biased_likelihood(mark_intensity: jnp.ndarray,
+                          next_mark_onehot: jnp.ndarray,
+                          intervals: jnp.ndarray) -> jnp.ndarray:
+        """Biased TPP log-likelihood (reference temporal.py:317-333).
+
+        mark_intensity: (..., Tq, E); next_mark_onehot: same shape
+        (already broadcast across heads as the reference tiles it);
+        intervals: (..., Tq).
+        """
+        has_event = jnp.sign(jnp.sum(next_mark_onehot, axis=-1, keepdims=True))
+        mark_intensity = mark_intensity * has_event
+        event_intensity = jnp.sum(mark_intensity * next_mark_onehot, axis=-1)
+        event_ll = jnp.sum(jnp.log(jnp.where(event_intensity == 0.0, 1.0,
+                                             event_intensity)))
+        entire_intensity = jnp.sum(mark_intensity, axis=-1)
+        non_event_ll = jnp.sum(entire_intensity * intervals * 0.5)
+        num_events = jnp.sum(next_mark_onehot)
+        return -(event_ll - non_event_ll) / num_events
+
+    def __call__(self, queries, keys, key_mask, intervals, mark_onehot, *,
+                 deterministic: bool, causality: Optional[bool] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """key_mask: (B, Tk) — nonzero where the key position is valid
+        (the reference receives it pre-tiled to (h*N, Tq, Tk); models build
+        it from ``seqs_id != 0``)."""
+        h = self.num_heads
+        causality = self.causal_default if causality is None else causality
+        if self.fused_qkvt:
+            qkvt = self.qkvt(queries)
+            qq, kk, vv, tt = jnp.split(qkvt, 4, axis=-1)
+        else:
+            qq, kk = self.q_proj(queries), self.k_proj(keys)
+            vv, tt = self.v_proj(keys), self.t_proj(keys)
+        q, k = split_heads(qq, h), split_heads(kk, h)
+        v, t = split_heads(vv, h), split_heads(tt, h)
+        d = q.shape[-1]
+
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / (d ** 0.5)
+        logits = _mask_logits(logits, key_mask, causality)
+        probs = jax.nn.softmax(logits, axis=-1)
+
+        seq_units = jnp.einsum("bhqk,bhkd->bhqd", probs, t,
+                               preferred_element_type=jnp.float32)
+        intensity_qk, mark_intensity = self.intensity(
+            seq_units, intervals, mark_onehot)
+
+        if self.diag_reset:  # BiMAU (temporal.py:438-439)
+            tq = intensity_qk.shape[-2]
+            eye = jnp.eye(tq, dtype=bool)
+            intensity_qk = jnp.where(eye[None, None], 1.0, intensity_qk)
+
+        modulated = intensity_qk * probs
+        modulated = self.dropout(modulated, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bhkd->bhqd", modulated, v,
+                         preferred_element_type=jnp.float32)
+        out = merge_heads(out) + queries[:, :, :self.num_units]
+        return out, mark_intensity
+
+
+def BiMAU(num_units, num_heads, num_events, dropout_rate=0.0, name=None):
+    """Bidirectional MAU (reference temporal.py:396-452): fused QKVT
+    projection, no causal mask, intensity diagonal reset to 1."""
+    return MAU(num_units, num_heads, num_events, dropout_rate,
+               fused_qkvt=True, causal_default=False, diag_reset=True,
+               name=name)
+
+
+def MGAU(num_units, num_heads, num_events, dropout_rate=0.0, name=None):
+    """Gated variant (reference temporal.py:455-508); defined but unused by
+    any reference model — provided for API completeness."""
+    return MAU(num_units, num_heads, num_events, dropout_rate,
+               fused_qkvt=True, causal_default=False, diag_reset=False,
+               name=name)
