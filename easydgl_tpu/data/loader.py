@@ -1,0 +1,116 @@
+"""Packed-sequence loader.
+
+Replaces the reference's TFRecord pipeline (src/dataloader.py:209-246:
+list_files -> parallel_interleave -> shuffle -> map_and_batch) with a
+jit-friendly design: splits are fixed-shape int32/float32 arrays resident in
+host RAM, per-epoch order comes from a seeded permutation, masking is a
+vectorized batch transform (data/masking.py), and each host reads a disjoint
+row shard (``host_id``/``num_hosts``) for multi-host data parallelism.
+
+Eval batches are padded to the fixed batch size with a ``valid`` row mask so
+metric accumulation stays exact (the reference streams variable last batches
+through tf.metrics.mean; fixed shapes avoid a recompile per tail batch).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from easydgl_tpu.data.masking import make_protocol
+
+
+@dataclasses.dataclass
+class PackedDataset:
+    """One split: right-aligned, left-zero-padded sequences of length L+1
+    (reference data/linkpred.py:142-158 semantics)."""
+    arrays: Dict[str, np.ndarray]      # seqs_i, seqs_t [, seqs_month, ...]
+    num_items: int
+
+    def __post_init__(self):
+        n = self.arrays["seqs_i"].shape[0]
+        for k, v in self.arrays.items():
+            assert v.shape[0] == n, f"{k} row mismatch"
+
+    @property
+    def num_rows(self) -> int:
+        return self.arrays["seqs_i"].shape[0]
+
+    def save(self, path: str):
+        np.savez_compressed(path, **self.arrays,
+                            __num_items=np.int64(self.num_items))
+
+    @classmethod
+    def load(cls, path: str) -> "PackedDataset":
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files if not k.startswith("__")}
+            return cls(arrays, int(z["__num_items"]))
+
+
+class BatchLoader:
+    """Deterministic per-host batch iterator with model-specific masking.
+
+    mark_table: optional [num_items, E] multi-hot incidence (the dense form
+    of the reference's mark.pkl CSR, CTSMA.py:24-25). When given, batches
+    carry ``seqs_marks`` (marks of input items, MASK id mapped to 0 —
+    EasyDGL.py:76-77) and train batches carry ``next_marks`` (marks of the
+    label items, CTSMA.py:103 / EasyDGL.py:165).
+    """
+
+    def __init__(self, dataset: PackedDataset, *, data_mode: str,
+                 batch_size: int, masklen: int = 6,
+                 mask_id: Optional[int] = None, is_training: bool,
+                 seed: int = 9876, host_id: int = 0, num_hosts: int = 1,
+                 mark_table: Optional[np.ndarray] = None,
+                 needs_marks: bool = False):
+        self.data = dataset
+        self.data_mode = data_mode
+        self.batch_size = batch_size
+        self.is_training = is_training
+        self.seed = seed
+        self.mark_table = mark_table
+        self.needs_marks = needs_marks
+        self.mask_id = dataset.num_items if mask_id is None else mask_id
+        self.protocol = make_protocol(data_mode, masklen=masklen,
+                                      mask_id=self.mask_id)
+        # disjoint per-host row shard
+        self.rows = np.arange(host_id, dataset.num_rows, num_hosts)
+
+    def num_batches(self) -> int:
+        n = len(self.rows)
+        if self.is_training:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _marks_of(self, ids: np.ndarray) -> np.ndarray:
+        safe = np.where(ids >= self.mark_table.shape[0], 0, ids)
+        return self.mark_table[safe]
+
+    def epoch(self, epoch: int = 0
+              ) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray,
+                                  np.ndarray]]:
+        """Yields (features, labels, valid) with fixed shapes."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, len(self.rows)]))
+        order = self.rows
+        if self.is_training:
+            order = rng.permutation(order)
+        bs = self.batch_size
+        nb = self.num_batches()
+        for i in range(nb):
+            rows = order[i * bs:(i + 1) * bs]
+            valid = np.ones((bs,), bool)
+            if len(rows) < bs:  # eval tail: pad with repeats of row 0
+                valid[len(rows):] = False
+                rows = np.concatenate(
+                    [rows, np.full(bs - len(rows), order[0])])
+            arrays = {k: v[rows] for k, v in self.data.arrays.items()}
+            features, labels = self.protocol(arrays, self.is_training, rng)
+            if self.needs_marks and self.mark_table is not None:
+                features["seqs_marks"] = self._marks_of(
+                    features["seqs_i"]).astype(np.float32)
+                if self.is_training:
+                    features["next_marks"] = self._marks_of(
+                        labels).astype(np.float32)
+            yield features, labels, valid

@@ -44,9 +44,9 @@ class GREC(SequentialModel):
 
         init = truncated_normal(0.02)
         embs_enc = Embedding(self.vocab_size, cfg.num_units, zero_pad=False,
-                             scale=False, init=init, name="enc_embs")
+                             scale=False, emb_init=init, name="enc_embs")
         embs_dec = Embedding(self.vocab_size, cfg.num_units, zero_pad=False,
-                             scale=False, init=init, name="dec_embs")
+                             scale=False, emb_init=init, name="dec_embs")
 
         x = embs_enc(ids_enc)
         for i, dilation in enumerate(cfg.dilations):

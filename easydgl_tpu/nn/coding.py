@@ -36,11 +36,11 @@ class Embedding(nn.Module):
     num_units: int
     zero_pad: bool = True
     scale: bool = True
-    init: Optional[object] = None  # default: glorot-uniform (TF get_variable)
+    emb_init: Optional[object] = None  # default: glorot (TF get_variable)
 
     def setup(self):
         self.lookup_table = self.param(
-            "lookup_table", self.init or glorot(),
+            "lookup_table", self.emb_init or glorot(),
             (self.vocab_size, self.num_units))
 
     def table(self) -> jnp.ndarray:
@@ -54,7 +54,10 @@ class Embedding(nn.Module):
         return t
 
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
-        out = jnp.take(self.table(), ids, axis=0)
+        # mode="clip": out-of-range ids clamp to the last row (the TF-GPU
+        # gather behavior the reference relies on for TiSASREC's edge bucket
+        # == timelen, TiSASREC.py:59)
+        out = jnp.take(self.table(), ids, axis=0, mode="clip")
         if self.scale:
             out = out * (self.num_units ** 0.5)
         return out

@@ -1,0 +1,98 @@
+"""Training/evaluation loop (replaces reference src/main.py:78-151).
+
+Per epoch: run the jitted train step over the shuffled train loader, then
+stream validation and test metrics, feed EarlyStopping on validation H100,
+checkpoint on improvement, stop on patience/NaN.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from easydgl_tpu.config import Config
+from easydgl_tpu.data.loader import BatchLoader, PackedDataset
+from easydgl_tpu.eval.metrics import MetricAccumulator
+from easydgl_tpu.models.base import SequentialModel
+from easydgl_tpu.models.registry import build_model
+from easydgl_tpu.train.checkpoint import Checkpointer
+from easydgl_tpu.train.early_stopping import EarlyStopping
+from easydgl_tpu.train.steps import (TrainState, build_eval_step,
+                                     build_train_step, init_state)
+
+log = logging.getLogger(__name__)
+
+
+def make_loaders(cfg: Config, model: SequentialModel,
+                 train: PackedDataset, valid: PackedDataset,
+                 test: PackedDataset,
+                 mark_table: Optional[np.ndarray] = None,
+                 host_id: int = 0, num_hosts: int = 1):
+    kw = dict(data_mode=model.data_mode, batch_size=cfg.batch_size,
+              masklen=cfg.masklen, seed=cfg.seed, mark_table=mark_table,
+              needs_marks=model.uses_tpp, host_id=host_id,
+              num_hosts=num_hosts)
+    return (BatchLoader(train, is_training=True, **kw),
+            BatchLoader(valid, is_training=False, **kw),
+            BatchLoader(test, is_training=False, **kw))
+
+
+def evaluate(eval_step, params, loader: BatchLoader) -> Dict[str, float]:
+    acc = MetricAccumulator()
+    for features, labels, valid in loader.epoch():
+        feats = {k: jnp.asarray(v) for k, v in features.items()}
+        acc.update(eval_step(params, feats, jnp.asarray(labels),
+                             jnp.asarray(valid)))
+    return acc.result()
+
+
+def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
+                test_ds: PackedDataset,
+                mark_table: Optional[np.ndarray] = None,
+                ckpt_dir: Optional[str] = None,
+                num_epochs: Optional[int] = None
+                ) -> Tuple[TrainState, Dict[str, float]]:
+    model = build_model(cfg)
+    tr_loader, vl_loader, te_loader = make_loaders(
+        cfg, model, train_ds, valid_ds, test_ds, mark_table)
+
+    # init from one sample batch
+    features, labels, _ = next(tr_loader.epoch(0))
+    sample = {k: jnp.asarray(v) for k, v in features.items()}
+    state = init_state(model, sample, cfg.seed)
+    train_step = build_train_step(model)
+    eval_step = build_eval_step(model)
+    rng = jax.random.key(cfg.seed)
+
+    ckpt = Checkpointer(ckpt_dir) if ckpt_dir else None
+    state_ref = [state]
+    stopper = EarlyStopping(
+        cfg.model, cfg.patience,
+        save_fn=(lambda: ckpt.save(state_ref[0])) if ckpt else None)
+
+    epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses = []
+        for features, labels, _ in tr_loader.epoch(epoch):
+            feats = {k: jnp.asarray(v) for k, v in features.items()}
+            state, loss = train_step(state, feats, jnp.asarray(labels), rng)
+            losses.append(loss)
+        state_ref[0] = state
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else np.nan
+        log.info("%03d: Loss=%.4f (%.1fs)", epoch, mean_loss,
+                 time.time() - t0)
+
+        if epoch % cfg.eval_per_steps:
+            continue
+        vl = evaluate(eval_step, state.params, vl_loader)
+        te = evaluate(eval_step, state.params, te_loader)
+        log.info("%03d: valid %s", epoch,
+                 {k: f"{v:.5f}" for k, v in vl.items()})
+        if stopper.step(mean_loss, vl.get("H100", 0.0), vl, te):
+            break
+    return state, stopper.summary()

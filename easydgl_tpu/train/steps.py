@@ -1,0 +1,154 @@
+"""Jitted train / eval step builders.
+
+Replaces the reference's graph-building in Sequential.train/eval
+(src/model/Base.py:119-207). Each step is a pure function compiled once by
+XLA; under a multi-device mesh the batch rides the "data" axis and the
+embedding/softmax tables the "model" axis, with gradient psums and
+vocab-sharded matmuls inserted by the partitioner.
+
+Loss modes:
+* softmax_eps — full-catalog ``-log(softmax(logits) + 1e-5)`` at the label,
+  label-weight mask on padding id 0, mean over non-pad labels
+  (Base.py:119-131). Computed via logsumexp at the label position only;
+  the +1e-5 epsilon makes this NOT plain cross-entropy, so it is applied
+  exactly: loss_i = -log(exp(logit_y - lse) + 1e-5).
+* sparse_ce — BERT4REC's masked-LM loss (BERT4REC.py:131-149).
+* grec — unweighted-mean CE + 0.001 * mean over parameter tensors of
+  l2_loss(v) (GREC.py:110-116).
+
+L2: ``l2_reg * 0.5 * sum(w^2)`` over every param named ``lookup_table``
+(the reference attaches an l2 regularizer to each Embedding it builds,
+coding.py:48; get_regularization_loss sums them, Base.py:130).
+TPP: CTSMA/EasyDGL add their biased-likelihood regularizer
+(model.tpp_regularizer).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from easydgl_tpu.config import Config
+from easydgl_tpu.eval.metrics import mask_seen_logits, metric_sums
+from easydgl_tpu.models.base import SequentialModel
+from easydgl_tpu.train.optim import build_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def l2_lookup_tables(params) -> jnp.ndarray:
+    """0.5 * sum(w^2) over every 'lookup_table' leaf."""
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        names = [getattr(p, "key", str(p)) for p in path]
+        if names and names[-1] == "lookup_table":
+            total = total + 0.5 * jnp.sum(jnp.square(leaf))
+    return total
+
+
+def l2_mean_all(params) -> jnp.ndarray:
+    """mean over parameter TENSORS of 0.5*sum(w^2) (GREC.py:115)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    return sum(0.5 * jnp.sum(jnp.square(w)) for w in leaves) / len(leaves)
+
+
+def _label_nll(logits: jnp.ndarray, labels: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(lse - logit_at_label, logit_at_label) without materializing one-hots."""
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    label_logit = jnp.take_along_axis(
+        logits, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    return lse - label_logit, label_logit
+
+
+def compute_loss(model: SequentialModel, params, features: Dict, labels,
+                 rngs: Optional[Dict] = None) -> jnp.ndarray:
+    cfg = model.cfg
+    logits, aux = model.apply(params, features, is_training=True, rngs=rngs)
+    flat = labels.reshape(-1)
+    ce, _ = _label_nll(logits, flat)
+
+    if model.loss_mode == "grec":
+        loss = jnp.mean(ce) + 0.001 * l2_mean_all(params)
+        return loss
+
+    if model.loss_mode == "softmax_eps":
+        # -log(p + 1e-5) with p = exp(-ce) (Base.py:121-127)
+        per_example = -jnp.log(jnp.exp(-ce) + 1e-5)
+    else:  # sparse_ce
+        per_example = ce
+    w = (flat != 0).astype(jnp.float32)
+    loss = jnp.sum(w * per_example) / (jnp.sum(w) + 1e-5)
+    if cfg.l2_reg:
+        loss = loss + cfg.l2_reg * l2_lookup_tables(params)
+    if model.uses_tpp and cfg.ct_reg:
+        loss = loss + model.tpp_regularizer(
+            aux, features, labels, features["next_marks"])
+    return loss
+
+
+def build_train_step(model: SequentialModel, donate: bool = True):
+    """Returns jitted (state, features, labels, rng) -> (state, loss)."""
+    tx = build_optimizer(model.cfg.optim)
+
+    def step(state: TrainState, features, labels, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(
+            lambda p: compute_loss(model, p, features, labels,
+                                   {"dropout": dropout_rng}))(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def init_state(model: SequentialModel, sample_features: Dict,
+               seed: int = 0) -> TrainState:
+    tx = build_optimizer(model.cfg.optim)
+    params = model.init(
+        {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
+        sample_features, is_training=True)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def build_eval_step(model: SequentialModel):
+    """Returns jitted (params, features, labels, valid) -> metric sums.
+
+    Mirrors Sequential.eval (Base.py:150-207): last-position logits,
+    optional mask_seen, top-100 HR/NDCG sums.
+    """
+    mask_seen = model.cfg.mask_seen
+
+    def step(params, features, labels, valid):
+        logits, _ = model.apply(params, features, is_training=False)
+        if mask_seen:
+            logits = mask_seen_logits(logits, features["seqs_i"])
+        true_items = labels[:, -1]   # eval truth = last position (Base.py:169)
+        return logits, metric_sums(logits, true_items, valid)
+
+    def sums_only(params, features, labels, valid):
+        return step(params, features, labels, valid)[1]
+
+    return jax.jit(sums_only)
+
+
+def build_analytics_step(model: SequentialModel):
+    """Eval step that ALSO returns the raw logits — the reference's
+    "ANALYTICS" collection (Base.py:154, analytics.py:90-100)."""
+    mask_seen = model.cfg.mask_seen
+
+    def step(params, features, labels, valid):
+        logits, _ = model.apply(params, features, is_training=False)
+        ranked = mask_seen_logits(logits, features["seqs_i"]) if mask_seen \
+            else logits
+        return logits, metric_sums(ranked, labels[:, -1], valid)
+
+    return jax.jit(step)

@@ -1,0 +1,26 @@
+"""Test harness: force an 8-device virtual CPU platform BEFORE jax backends
+initialize (SURVEY.md §4c — sharding tests without a cluster)."""
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs[:8]
+
+
+@pytest.fixture()
+def rng():
+    return np.random.RandomState(1234)
