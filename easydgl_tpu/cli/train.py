@@ -1,0 +1,109 @@
+"""Train CLI (replaces reference src/main.py).
+
+Usage:
+    python -m easydgl_tpu.cli.train --model EasyDGL --data_dir DATA \\
+        [--mark DATA/mark.npy] [--ckpt_dir ckpt/EasyDGL] [overrides...]
+
+``--data_dir`` must hold train.npz / validation.npz / test.npz produced by
+``easydgl_tpu.cli.prep`` (or ``--synthetic`` for a smoke run). Hyperparameter
+defaults come from the per-model presets (runme.sh parity); any field of
+Config can be overridden from the command line.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", required=True)
+    p.add_argument("--data_dir")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on generated data (smoke/benchmark)")
+    p.add_argument("--synthetic_rows", type=int, default=2048)
+    p.add_argument("--mark", help=".npy multi-hot mark table (CTSMA/EasyDGL)")
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--num_items", type=int)
+    p.add_argument("--seqslen", type=int)
+    p.add_argument("--num_units", type=int)
+    p.add_argument("--num_heads", type=int)
+    p.add_argument("--num_blocks", type=int)
+    p.add_argument("--num_epochs", type=int)
+    p.add_argument("--num_events", type=int)
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--masklen", type=int)
+    p.add_argument("--timelen", type=int)
+    p.add_argument("--time_scale", type=float)
+    p.add_argument("--learning_rate", type=float)
+    p.add_argument("--l2_reg", type=float)
+    p.add_argument("--ct_reg", type=float)
+    p.add_argument("--hidden_dropout_rate", type=float)
+    p.add_argument("--attention_probs_dropout_rate", type=float)
+    p.add_argument("--mask_seen", action="store_true", default=None)
+    p.add_argument("--seed", type=int)
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    from easydgl_tpu.config import preset
+    overrides = {}
+    for k in ("num_items", "seqslen", "num_units", "num_heads", "num_blocks",
+              "num_epochs", "num_events", "batch_size", "masklen", "timelen",
+              "time_scale", "l2_reg", "ct_reg", "hidden_dropout_rate",
+              "attention_probs_dropout_rate", "mask_seen", "seed"):
+        v = getattr(args, k)
+        if v is not None:
+            overrides[k] = v
+    cfg = preset(args.model, **overrides)
+    if args.learning_rate is not None:
+        import dataclasses
+        cfg = cfg.replace(optim=dataclasses.replace(
+            cfg.optim, learning_rate=args.learning_rate))
+    return cfg
+
+
+def load_data(args, cfg):
+    from easydgl_tpu.data.loader import PackedDataset
+    from easydgl_tpu.data.synthetic import (synthetic_mark_table,
+                                            synthetic_split)
+    if args.synthetic:
+        mk = dict(num_items=cfg.num_items, seqslen=cfg.seqslen,
+                  with_datetime=True)
+        splits = (synthetic_split(num_rows=args.synthetic_rows, seed=1, **mk),
+                  synthetic_split(num_rows=args.synthetic_rows // 8,
+                                  seed=2, **mk),
+                  synthetic_split(num_rows=args.synthetic_rows // 8,
+                                  seed=3, **mk))
+        n_events = cfg.num_events or 64
+        mark = synthetic_mark_table(cfg.num_items, n_events, seed=4)
+        return splits, mark, cfg.replace(num_events=n_events)
+    splits = tuple(
+        PackedDataset.load(os.path.join(args.data_dir, f"{s}.npz"))
+        for s in ("train", "validation", "test"))
+    mark = np.load(args.mark) if args.mark else None
+    if mark is not None and not cfg.num_events:
+        cfg = cfg.replace(num_events=mark.shape[-1])
+    return splits, mark, cfg
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s")
+    args = parse_args(argv)
+    cfg = build_config(args)
+    (train, valid, test), mark, cfg = load_data(args, cfg)
+    logging.info("config: %s", cfg)
+
+    from easydgl_tpu.train.loop import train_model
+    state, summary = train_model(cfg, train, valid, test, mark_table=mark,
+                                 ckpt_dir=args.ckpt_dir)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -41,7 +40,7 @@ def sharded_embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
         gathered = jnp.where(in_range[..., None], gathered, 0.0)
         return jax.lax.psum(gathered, model_axis)
 
-    return shard_map(
+    return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(model_axis, None), P(data_axis, None)),
         out_specs=P(data_axis, None, None))(table, ids)
@@ -58,7 +57,7 @@ def sharded_tied_logits(hidden: jnp.ndarray, table: jnp.ndarray,
         return jnp.einsum("nc,vc->nv", h, t,
                           preferred_element_type=jnp.float32) + b
 
-    return shard_map(
+    return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(data_axis, None), P(model_axis, None), P(model_axis)),
         out_specs=P(data_axis, model_axis))(hidden, table, bias)

@@ -1,0 +1,108 @@
+"""Multi-chip SPMD training/eval over a (data, model) mesh.
+
+The dense encoder tower is data-parallel (batch on the "data" axis, gradient
+psum inserted by the partitioner); the item-embedding/softmax table — the
+dominant parameter — is row-sharded over the "model" axis, making the
+catalog-scoring matmul vocab-sharded. The communication backend is XLA
+collectives over ICI/DCN (SURVEY.md §2.6); nothing here hand-writes
+transport.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from easydgl_tpu.models.base import SequentialModel
+from easydgl_tpu.train.optim import build_optimizer
+from easydgl_tpu.train.steps import TrainState, compute_loss
+from easydgl_tpu.eval.metrics import mask_seen_logits, metric_sums
+
+
+def _is_table_path(path) -> bool:
+    names = [getattr(p, "key", str(p)) for p in path]
+    return bool(names) and names[-1] == "lookup_table" and \
+        any(n.startswith("item_embs") or n.endswith("item_embs")
+            for n in names)
+
+
+def param_shardings(params, mesh: Mesh):
+    """Row-shard the item table over the model axis (when divisible);
+    replicate everything else. Dense towers stay replicated — DP gradients
+    psum over "data"."""
+    mp = mesh.shape[mesh.axis_names[1]]
+    model_axis = mesh.axis_names[1]
+
+    def spec(path, leaf):
+        if mp > 1 and _is_table_path(path) and leaf.shape[0] % mp == 0:
+            return NamedSharding(mesh, P(model_axis, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+    p_sh = param_shardings(state.params, mesh)
+
+    # optax adam moments mirror the param tree shape-for-shape; give any
+    # opt-state leaf whose shape matches a sharded param the same sharding.
+    shapes = {}
+    for leaf, sh in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(p_sh)):
+        shapes.setdefault(leaf.shape, sh)
+
+    def o_spec(leaf):
+        if hasattr(leaf, "shape") and leaf.shape in shapes:
+            return shapes[leaf.shape]
+        return NamedSharding(mesh, P())
+
+    return TrainState(
+        params=p_sh,
+        opt_state=jax.tree.map(o_spec, state.opt_state),
+        step=NamedSharding(mesh, P()))
+
+
+def batch_shardings(batch, mesh: Mesh):
+    data_axis = mesh.axis_names[0]
+    return jax.tree.map(
+        lambda _: NamedSharding(mesh, P(data_axis)), batch)
+
+
+def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+    sh = state_shardings(state, mesh)
+    return jax.tree.map(jax.device_put, state, sh)
+
+
+def build_sharded_train_step(model: SequentialModel, mesh: Mesh,
+                             sample_batch: Tuple[Dict, Any]):
+    """jit-compiled SPMD train step with explicit in/out shardings."""
+    tx = build_optimizer(model.cfg.optim)
+    import optax
+
+    def step(state: TrainState, features, labels, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(
+            lambda p: compute_loss(model, p, features, labels,
+                                   {"dropout": dropout_rng}))(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def build_sharded_eval_step(model: SequentialModel, mesh: Mesh):
+    mask_seen = model.cfg.mask_seen
+    data_axis = mesh.axis_names[0]
+
+    def step(params, features, labels, valid):
+        logits, _ = model.apply(params, features, is_training=False)
+        logits = jax.lax.with_sharding_constraint(
+            logits, NamedSharding(mesh, P(data_axis, None)))
+        if mask_seen:
+            logits = mask_seen_logits(logits, features["seqs_i"])
+        return metric_sums(logits, labels[:, -1], valid)
+
+    return jax.jit(step)

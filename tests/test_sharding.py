@@ -1,0 +1,130 @@
+"""Sharding-equivalence tests on the forced 8-device CPU platform
+(SURVEY.md §4c): sharded must equal replicated bit-for-bit (up to fp
+reduction order)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from easydgl_tpu.config import MeshConfig, preset
+from easydgl_tpu.core.mesh import make_mesh
+from easydgl_tpu.dist.embedding import (sharded_embedding_lookup,
+                                        sharded_tied_logits)
+from easydgl_tpu.dist.topk import (distributed_label_nll,
+                                   distributed_mask_seen, distributed_top_k)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(MeshConfig(dp=2, mp=4))
+
+
+def test_sharded_embedding_lookup(mesh, rng):
+    v, c, b, t = 32, 8, 4, 6
+    table = jnp.asarray(rng.randn(v, c).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, v, (b, t)).astype(np.int32))
+    out = sharded_embedding_lookup(table, ids, mesh)
+    ref = jnp.take(table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_tied_logits(mesh, rng):
+    v, c, n = 32, 8, 6
+    table = jnp.asarray(rng.randn(v, c).astype(np.float32))
+    hidden = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    bias = jnp.asarray(rng.randn(v).astype(np.float32))
+    out = sharded_tied_logits(hidden, table, bias, mesh)
+    ref = hidden @ table.T + bias
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_top_k(mesh, rng):
+    n, v, k = 4, 64, 7
+    logits = jnp.asarray(rng.randn(n, v).astype(np.float32))
+    vals, idx = distributed_top_k(logits, k, mesh)
+    ref_vals, ref_idx = jax.lax.top_k(logits, k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_distributed_label_nll(mesh, rng):
+    n, v = 4, 64
+    logits = jnp.asarray(rng.randn(n, v).astype(np.float32) * 3)
+    labels = jnp.asarray(rng.randint(0, v, (n,)).astype(np.int32))
+    out = distributed_label_nll(logits, labels, mesh)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    ref = lse - jnp.take_along_axis(logits, labels[:, None], 1)[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_mask_seen(mesh, rng):
+    n, v, t = 4, 64, 5
+    logits = jnp.zeros((n, v), jnp.float32)
+    seen = jnp.asarray(rng.randint(0, v, (n, t)).astype(np.int32))
+    out = np.asarray(distributed_mask_seen(logits, seen, mesh))
+    for r in range(n):
+        for i in range(v):
+            if i in set(np.asarray(seen)[r].tolist()):
+                assert out[r, i] < -1e29
+            else:
+                assert out[r, i] == 0.0
+
+
+def test_sharded_train_step_matches_single(rng):
+    """One EasyDGL train step on a (2 data x 4 model) mesh must match the
+    unsharded step (same seeds): DP psum + table sharding change nothing."""
+    from easydgl_tpu.data.loader import BatchLoader
+    from easydgl_tpu.data.synthetic import (synthetic_mark_table,
+                                            synthetic_split)
+    from easydgl_tpu.models.registry import build_model
+    from easydgl_tpu.train.loop import make_loaders
+    from easydgl_tpu.train.sharded import (batch_shardings,
+                                           build_sharded_train_step,
+                                           shard_state)
+    from easydgl_tpu.train.steps import build_train_step, init_state
+
+    v = 48  # divisible by mp=4... table has 48 rows
+    cfg = preset("EasyDGL").replace(
+        num_items=v - 1, seqslen=8, num_units=16, num_heads=2, num_blocks=1,
+        num_events=4, masklen=3, batch_size=8, hidden_dropout_rate=0.0,
+        attention_probs_dropout_rate=0.0, ct_reg=1e-4)
+    model = build_model(cfg)
+    assert model.vocab_size % 4 == 0
+
+    ds = synthetic_split(num_rows=16, num_items=cfg.num_items, seqslen=8,
+                         seed=5)
+    table = synthetic_mark_table(cfg.num_items, 4, seed=2)
+    ld = BatchLoader(ds, data_mode="mau", batch_size=8, masklen=3,
+                     is_training=True, mark_table=table, needs_marks=True)
+    features, labels, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(vv) for k, vv in features.items()}
+    labels = jnp.asarray(labels)
+
+    state = init_state(model, feats, seed=0)
+    rng_key = jax.random.key(7)
+
+    # single-device reference
+    ref_step = build_train_step(model, donate=False)
+    ref_state, ref_loss = ref_step(state, feats, labels, rng_key)
+
+    # sharded
+    mesh = make_mesh(MeshConfig(dp=2, mp=4))
+    sh_state = shard_state(state, mesh)
+    b_sh = batch_shardings((feats, labels), mesh)
+    feats_sh = jax.tree.map(jax.device_put, feats, b_sh[0])
+    labels_sh = jax.device_put(labels, b_sh[1])
+    step = build_sharded_train_step(model, mesh, (feats, labels))
+    new_state, loss = step(sh_state, feats_sh, labels_sh, rng_key)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_state.params),
+            jax.tree_util.tree_leaves_with_path(new_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=str(pa))
