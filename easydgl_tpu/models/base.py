@@ -21,6 +21,7 @@ from easydgl_tpu.config import Config
 # Aux dict keys
 INTENSITIES = "intensities"   # tuple of (B, H, T, E) per block (LLE_PP)
 TIME_BIAS = "time_bias"       # TimelyREC per-row logit bias (N, 1)
+SCORING = "scoring"           # (hidden, table, bias) for the fused NLL kernel
 
 
 class OutputBias(nn.Module):

@@ -16,8 +16,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easydgl_tpu.models.base import (OutputBias, SequentialModel,
-                                     prediction_rows, tied_logits)
+from easydgl_tpu.models.base import (SCORING, OutputBias,
+                                     SequentialModel, prediction_rows,
+                                     tied_logits)
 from easydgl_tpu.nn.attention import BERTAttention
 from easydgl_tpu.nn.coding import Embedding, PositionCoding
 from easydgl_tpu.nn.layers import ContribLayerNorm, Dense, gelu_exact
@@ -72,4 +73,6 @@ class BERT4REC(SequentialModel):
         hidden = prediction_rows(x, is_training,
                                  features.get("masked_positions"))
         bias = OutputBias(self.vocab_size, name="out_bias")()
-        return tied_logits(hidden, item_embs.table(), bias), {}
+        table = item_embs.table()
+        aux = {SCORING: (hidden, table, bias)} if is_training else {}
+        return tied_logits(hidden, table, bias), aux

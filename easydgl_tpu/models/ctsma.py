@@ -16,8 +16,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easydgl_tpu.models.base import (INTENSITIES, OutputBias, SequentialModel,
-                                     prediction_rows, tied_logits)
+from easydgl_tpu.models.base import (INTENSITIES, SCORING, OutputBias,
+                                     SequentialModel, prediction_rows,
+                                     tied_logits)
 from easydgl_tpu.nn.coding import Embedding, PositionCoding
 from easydgl_tpu.nn.layers import ContribLayerNorm, FeedForward
 from easydgl_tpu.nn.temporal import MAU
@@ -60,8 +61,11 @@ class CTSMA(SequentialModel):
         x = ContribLayerNorm(name="out_ln")(x)
         hidden = prediction_rows(x, is_training)
         bias = OutputBias(cfg.num_items, name="out_bias")()
-        logits = tied_logits(hidden, item_embs.table(), bias)
-        return logits, {INTENSITIES: tuple(intensities)}
+        table = item_embs.table()
+        aux = {INTENSITIES: tuple(intensities)}
+        if is_training:
+            aux[SCORING] = (hidden, table, bias)
+        return tied_logits(hidden, table, bias), aux
 
     def tpp_regularizer(self, aux, features, labels, next_marks):
         """ct_reg * sum over blocks of the biased TPP likelihood

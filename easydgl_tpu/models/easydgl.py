@@ -26,8 +26,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easydgl_tpu.models.base import (INTENSITIES, OutputBias, SequentialModel,
-                                     prediction_rows, tied_logits)
+from easydgl_tpu.models.base import (INTENSITIES, SCORING, OutputBias,
+                                     SequentialModel, prediction_rows,
+                                     tied_logits)
 from easydgl_tpu.nn.coding import Embedding, PositionCoding, TimeSinusoidCoding
 from easydgl_tpu.nn.layers import ContribLayerNorm, Dense, gelu_exact
 from easydgl_tpu.nn.temporal import MAU, BiMAU
@@ -109,8 +110,11 @@ class EasyDGL(SequentialModel):
         hidden = prediction_rows(x, is_training,
                                  features.get("masked_positions"))
         bias = OutputBias(self.vocab_size, name="out_bias")()
-        logits = tied_logits(hidden, item_embs.table(), bias)
-        return logits, {INTENSITIES: tuple(intensities)}
+        table = item_embs.table()
+        aux = {INTENSITIES: tuple(intensities)}
+        if is_training:
+            aux[SCORING] = (hidden, table, bias)
+        return tied_logits(hidden, table, bias), aux
 
     def tpp_regularizer(self, aux, features, labels, next_marks):
         """ct_reg/num_heads * per-block biased likelihood over the MASKED

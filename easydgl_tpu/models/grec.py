@@ -16,10 +16,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easydgl_tpu.models.base import SequentialModel, prediction_rows
+from easydgl_tpu.models.base import SCORING, SequentialModel, prediction_rows
 from easydgl_tpu.nn.cnn import MaskedCNN
 from easydgl_tpu.nn.coding import Embedding
-from easydgl_tpu.nn.layers import Dense, gelu_tanh, truncated_normal
+from easydgl_tpu.nn.layers import Dense, gelu_tanh, glorot, truncated_normal
 
 
 class GREC(SequentialModel):
@@ -64,9 +64,17 @@ class GREC(SequentialModel):
 
         hidden = prediction_rows(x, is_training,
                                  features.get("masked_positions"))
-        logits = Dense(self.vocab_size, name="head")(nn.relu(hidden))
+        hidden = nn.relu(hidden)
+        head_w = self.param("head_kernel", glorot(),
+                            (cfg.num_units, self.vocab_size))
+        head_b = self.param("head_bias", nn.initializers.zeros,
+                            (self.vocab_size,))
+        logits = hidden @ head_w + head_b
 
-        if not is_training:  # mask id-0 and MASK columns (GREC.py:100-102)
+        aux = {}
+        if is_training:
+            aux[SCORING] = (hidden, head_w.T, head_b)
+        else:  # mask id-0 and MASK columns (GREC.py:100-102)
             neg = jnp.full_like(logits[:, :1], -1000.0)
             logits = jnp.concatenate([neg, logits[:, 1:-1], neg], axis=-1)
-        return logits, {}
+        return logits, aux

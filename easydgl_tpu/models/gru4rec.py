@@ -9,8 +9,9 @@ from __future__ import annotations
 
 from flax import linen as nn
 
-from easydgl_tpu.models.base import (OutputBias, SequentialModel,
-                                     prediction_rows, tied_logits)
+from easydgl_tpu.models.base import (SCORING, OutputBias,
+                                     SequentialModel, prediction_rows,
+                                     tied_logits)
 from easydgl_tpu.nn.coding import Embedding
 from easydgl_tpu.nn.rnn import CudnnGRU
 
@@ -33,4 +34,6 @@ class GRU4REC(SequentialModel):
         h = h * mask
         hidden = prediction_rows(h, is_training)
         bias = OutputBias(cfg.num_items, name="out_bias")()
-        return tied_logits(hidden, item_embs.table(), bias), {}
+        table = item_embs.table()
+        aux = {SCORING: (hidden, table, bias)} if is_training else {}
+        return tied_logits(hidden, table, bias), aux

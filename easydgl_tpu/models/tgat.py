@@ -9,8 +9,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easydgl_tpu.models.base import (OutputBias, SequentialModel,
-                                     prediction_rows, tied_logits)
+from easydgl_tpu.models.base import (SCORING, OutputBias,
+                                     SequentialModel, prediction_rows,
+                                     tied_logits)
 from easydgl_tpu.nn.coding import Embedding, PositionCoding, TimeFunctionCoding
 from easydgl_tpu.nn.layers import ContribLayerNorm, FeedForward
 from easydgl_tpu.nn.temporal import TfMultiHeadAttention
@@ -57,4 +58,6 @@ class TGAT(SequentialModel):
         x = ContribLayerNorm(name="out_ln")(x)
         hidden = prediction_rows(x, is_training)
         bias = OutputBias(cfg.num_items, name="out_bias")()
-        return tied_logits(hidden, item_embs.table(), bias), {}
+        table = item_embs.table()
+        aux = {SCORING: (hidden, table, bias)} if is_training else {}
+        return tied_logits(hidden, table, bias), aux

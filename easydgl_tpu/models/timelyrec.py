@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easydgl_tpu.models.base import (OutputBias, SequentialModel, TIME_BIAS,
+from easydgl_tpu.models.base import (SCORING, OutputBias, SequentialModel,
                                      tied_logits)
 from easydgl_tpu.nn.attention import MultiHeadAttention
 from easydgl_tpu.nn.coding import Embedding, PositionCoding, TimeSinusoidCoding
@@ -116,13 +116,18 @@ class TimelyREC(SequentialModel):
         out = Dense(cfg.num_units, name="dict1")(out)
 
         bias = OutputBias(cfg.num_items, name="out_bias")()
+        table = item_embs.table()
+        aux = {}
         if is_training:
             # distributive-law sinusoid bias (TimelyREC.py:158-168)
             bias_t = jnp.sum(out * tcodes, axis=-1).reshape(-1, 1)
             hidden = out.reshape(-1, cfg.num_units)
-            logits = tied_logits(hidden, item_embs.table(), bias)
+            logits = tied_logits(hidden, table, bias)
             logits = logits + bias_t * te_weight
+            # the per-row bias_t shifts every logit equally -> the softmax
+            # NLL is invariant to it, so the fused kernel skips it
+            aux[SCORING] = (hidden, table, bias)
         else:
             hidden = out[:, -1, :]
-            logits = tied_logits(hidden, item_embs.table(), bias)
-        return logits, {}
+            logits = tied_logits(hidden, table, bias)
+        return logits, aux

@@ -59,6 +59,14 @@ def l2_mean_all(params) -> jnp.ndarray:
     return sum(0.5 * jnp.sum(jnp.square(w)) for w in leaves) / len(leaves)
 
 
+def _round8(x: int) -> int:
+    return (x + 7) // 8 * 8
+
+
+def _round128(x: int) -> int:
+    return (x + 127) // 128 * 128
+
+
 def _label_nll(logits: jnp.ndarray, labels: jnp.ndarray
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(lse - logit_at_label, logit_at_label) without materializing one-hots."""
@@ -68,12 +76,30 @@ def _label_nll(logits: jnp.ndarray, labels: jnp.ndarray
     return lse - label_logit, label_logit
 
 
+def _kernel_enabled(cfg: Config) -> bool:
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    return jax.default_backend() != "cpu"
+
+
 def compute_loss(model: SequentialModel, params, features: Dict, labels,
                  rngs: Optional[Dict] = None) -> jnp.ndarray:
     cfg = model.cfg
     logits, aux = model.apply(params, features, is_training=True, rngs=rngs)
     flat = labels.reshape(-1)
-    ce, _ = _label_nll(logits, flat)
+    from easydgl_tpu.models.base import SCORING
+    if SCORING in aux and _kernel_enabled(cfg):
+        # fused tile-streamed catalog NLL (Pallas); the logits einsum above
+        # becomes dead code and is eliminated by XLA
+        from easydgl_tpu.kernels.scoring import catalog_nll
+        hidden, table, bias = aux[SCORING]
+        v = table.shape[0]
+        block_n = min(512, _round8(hidden.shape[0]))
+        block_v = min(2048, _round128(v))
+        lse, ll = catalog_nll(hidden, table, bias, flat, block_n, block_v)
+        ce = lse - ll
+    else:
+        ce, _ = _label_nll(logits, flat)
 
     if model.loss_mode == "grec":
         loss = jnp.mean(ce) + 0.001 * l2_mean_all(params)

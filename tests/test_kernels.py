@@ -1,0 +1,99 @@
+"""Pallas kernel parity tests vs pure-jnp references, run in interpreter
+mode on CPU (SURVEY.md §4d)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _data(rng, n=16, c=8, v=40):
+    hidden = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    table = jnp.asarray(rng.randn(v, c).astype(np.float32))
+    bias = jnp.asarray(rng.randn(v).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, v, (n,)).astype(np.int32))
+    return hidden, table, bias, labels
+
+
+def test_catalog_nll_forward(rng):
+    from easydgl_tpu.kernels.scoring import catalog_nll, catalog_nll_reference
+    hidden, table, bias, labels = _data(rng)
+    lse, ll = catalog_nll(hidden, table, bias, labels, 8, 16)
+    rlse, rll = catalog_nll_reference(hidden, table, bias, labels)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(rlse),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(rll),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_catalog_nll_forward_unaligned(rng):
+    """N and V not multiples of the block sizes exercise the padding path."""
+    from easydgl_tpu.kernels.scoring import catalog_nll, catalog_nll_reference
+    hidden, table, bias, labels = _data(rng, n=13, v=37)
+    lse, ll = catalog_nll(hidden, table, bias, labels, 8, 16)
+    rlse, rll = catalog_nll_reference(hidden, table, bias, labels)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(rlse),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(rll),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_catalog_nll_grads(rng):
+    from easydgl_tpu.kernels.scoring import catalog_nll, catalog_nll_reference
+    hidden, table, bias, labels = _data(rng, n=8, c=8, v=32)
+
+    def loss_k(h, t, b):
+        lse, ll = catalog_nll(h, t, b, labels, 8, 16)
+        # softmax+eps loss shape (Base.py:121-127)
+        return jnp.sum(-jnp.log(jnp.exp(ll - lse) + 1e-5) *
+                       jnp.arange(1, 9))
+
+    def loss_r(h, t, b):
+        lse, ll = catalog_nll_reference(h, t, b, labels)
+        return jnp.sum(-jnp.log(jnp.exp(ll - lse) + 1e-5) *
+                       jnp.arange(1, 9))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(hidden, table, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(hidden, table, bias)
+    for a, b_, name in zip(gk, gr, ("dhidden", "dtable", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_compute_loss_kernel_vs_xla(rng):
+    """compute_loss with the fused kernel (interpret mode) must equal the
+    XLA logits path for a real model batch."""
+    import jax
+    from easydgl_tpu.config import preset
+    from easydgl_tpu.data.loader import BatchLoader
+    from easydgl_tpu.data.synthetic import synthetic_split
+    from easydgl_tpu.models.registry import build_model
+    from easydgl_tpu.train.steps import compute_loss
+
+    losses = {}
+    for use_pallas in (False, True):
+        cfg = preset("SASREC").replace(
+            num_items=40, seqslen=8, num_units=16, num_heads=2,
+            num_blocks=1, batch_size=8, use_pallas=use_pallas,
+            hidden_dropout_rate=0.0, attention_probs_dropout_rate=0.0)
+        model = build_model(cfg)
+        ds = synthetic_split(num_rows=8, num_items=40, seqslen=8, seed=1)
+        ld = BatchLoader(ds, data_mode="regressive", batch_size=8,
+                         is_training=True)
+        features, labels, _ = next(ld.epoch(0))
+        feats = {k: jnp.asarray(v) for k, v in features.items()}
+        params = model.init({"params": jax.random.key(0),
+                             "dropout": jax.random.key(1)},
+                            feats, is_training=True)
+        losses[use_pallas] = float(compute_loss(
+            model, params, feats, jnp.asarray(labels),
+            {"dropout": jax.random.key(2)}))
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
