@@ -63,10 +63,13 @@ class BatchLoader:
                  mask_id: Optional[int] = None, is_training: bool,
                  seed: int = 9876, host_id: int = 0, num_hosts: int = 1,
                  mark_table: Optional[np.ndarray] = None,
-                 needs_marks: bool = False):
+                 needs_marks: bool = False,
+                 use_native: Optional[bool] = None):
+        from easydgl_tpu.data import native as _native
         self.data = dataset
         self.data_mode = data_mode
         self.batch_size = batch_size
+        self.masklen = masklen
         self.is_training = is_training
         self.seed = seed
         self.mark_table = mark_table
@@ -74,6 +77,9 @@ class BatchLoader:
         self.mask_id = dataset.num_items if mask_id is None else mask_id
         self.protocol = make_protocol(data_mode, masklen=masklen,
                                       mask_id=self.mask_id)
+        self.native = (_native.available() if use_native is None
+                       else use_native) and _native.available()
+        self._native_mod = _native if self.native else None
         # disjoint per-host row shard
         self.rows = np.arange(host_id, dataset.num_rows, num_hosts)
 
@@ -84,8 +90,26 @@ class BatchLoader:
         return -(-n // self.batch_size)
 
     def _marks_of(self, ids: np.ndarray) -> np.ndarray:
+        if self.native:
+            return self._native_mod.mark_gather(self.mark_table, ids)
         safe = np.where(ids >= self.mark_table.shape[0], 0, ids)
-        return self.mark_table[safe]
+        return self.mark_table[safe].astype(np.float32)
+
+    def _native_protocol(self, arrays, epoch: int, batch_idx: int):
+        """C++ fast path for the masked-family train protocols
+        (native/batcher.cpp); same contract as data/masking.py."""
+        tokens = arrays["seqs_i"]
+        ignore_head = 1 if self.data_mode in ("mau", "grec") else 0
+        masked, positions, labels = self._native_mod.masked_batch(
+            tokens, self.masklen, self.mask_id, ignore_head,
+            self.seed, epoch, batch_idx)
+        if self.data_mode == "grec":
+            features = {"seqs_i": tokens, "seqs_m": masked,
+                        "masked_positions": positions - 1}
+        else:
+            features = {"seqs_i": masked, "masked_positions": positions,
+                        "seqs_t": arrays["seqs_t"]}
+        return features, labels
 
     def epoch(self, epoch: int = 0
               ) -> Iterator[Tuple[Dict[str, np.ndarray], np.ndarray,
@@ -105,8 +129,17 @@ class BatchLoader:
                 valid[len(rows):] = False
                 rows = np.concatenate(
                     [rows, np.full(bs - len(rows), order[0])])
-            arrays = {k: v[rows] for k, v in self.data.arrays.items()}
-            features, labels = self.protocol(arrays, self.is_training, rng)
+            if self.native:
+                arrays = {k: self._native_mod.gather_rows(v, rows)
+                          for k, v in self.data.arrays.items()}
+            else:
+                arrays = {k: v[rows] for k, v in self.data.arrays.items()}
+            if (self.native and self.is_training and
+                    self.data_mode in ("masked", "mau", "grec")):
+                features, labels = self._native_protocol(arrays, epoch, i)
+            else:
+                features, labels = self.protocol(arrays, self.is_training,
+                                                 rng)
             if self.needs_marks and self.mark_table is not None:
                 features["seqs_marks"] = self._marks_of(
                     features["seqs_i"]).astype(np.float32)

@@ -196,7 +196,7 @@ def _catalog_fwd(hidden, table, bias, labels, block_n, block_v):
     lab2 = lp.astype(jnp.int32)[:, None]
     lse, ll = _fwd_call(hp, tp, bp, lab2, block_n=block_n, block_v=block_v)
     out = (lse[:n], ll[:n])
-    return out, (hidden, table, bias, labels, lse, ll)
+    return out, (hidden, table, bias, labels, lse[:n], ll[:n])
 
 
 def _catalog_bwd(block_n, block_v, res, grads):
@@ -204,11 +204,16 @@ def _catalog_bwd(block_n, block_v, res, grads):
     dlse, dll = grads
     n, c = hidden.shape
     v = table.shape[0]
+    # backward keeps a (block_v, C) accumulator + score tiles resident in
+    # VMEM simultaneously — smaller tiles than forward to fit the ~16MB
+    # scoped budget
+    block_n = min(block_n, 256)
+    block_v = min(block_v, 1024)
     hp, tp, bp, lp, _, _ = _pad(hidden, table, bias, labels, block_n, block_v)
     np_, vp = hp.shape[0], tp.shape[0]
     num_n, num_v = np_ // block_n, vp // block_v
     lab2 = lp.astype(jnp.int32)[:, None]
-    lse2 = lse_p[:, None]
+    lse2 = jnp.pad(lse_p, (0, np_ - n))[:, None]
     dlse2 = jnp.pad(dlse, (0, np_ - n))[:, None]
     dll2 = jnp.pad(dll, (0, np_ - n))[:, None]
 

@@ -122,3 +122,35 @@ def test_loader_marks():
     masked_rows = f["seqs_i"] == 50
     assert (f["seqs_marks"][masked_rows] == 0).all()
     np.testing.assert_array_equal(f["next_marks"][0, 0], table[labels[0, 0]])
+
+
+def test_native_loader_contract():
+    """C++ batcher path must satisfy the same protocol contract as NumPy."""
+    from easydgl_tpu.data import native
+    if not native.available():
+        pytest.skip("native library not built")
+    ds = synthetic_split(num_rows=32, num_items=50, seqslen=10, seed=3)
+    table = synthetic_mark_table(50, 6, seed=1)
+    for mode, ignore in (("masked", 0), ("mau", 1), ("grec", 1)):
+        ld = BatchLoader(ds, data_mode=mode, batch_size=8, masklen=3,
+                         is_training=True, mark_table=table,
+                         needs_marks=(mode == "mau"), use_native=True)
+        assert ld.native
+        f, labels, _ = next(ld.epoch(0))
+        tokens = ds.arrays["seqs_i"]
+        if mode == "grec":
+            pos = f["masked_positions"] + 1
+            masked = f["seqs_m"]
+        else:
+            pos = f["masked_positions"]
+            masked = f["seqs_i"]
+        for r in range(8):
+            assert len(set(pos[r].tolist())) == 3
+            assert (pos[r] >= ignore).all()
+            assert (masked[r, pos[r]] == 50).all()
+        # determinism across replays of the same epoch
+        f2, _, _ = next(ld.epoch(0))
+        np.testing.assert_array_equal(f2["seqs_i"], f["seqs_i"])
+        # different epochs differ
+        f3, _, _ = next(ld.epoch(1))
+        assert (f3["seqs_i"] != f["seqs_i"]).any()
