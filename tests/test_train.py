@@ -125,3 +125,32 @@ def test_metric_sums_exact():
     assert sums["count"] == 2.0
     assert sums["H10"] == 1.0 and sums["H100"] == 1.0
     np.testing.assert_allclose(sums["N10"], 1.0 / np.log2(2.0), rtol=1e-6)
+
+
+def test_early_stopping_semantics():
+    """Faithful util.py:14-58 behavior: NaN abort, patience, first-epoch
+    best_valid refresh rule."""
+    from easydgl_tpu.train.early_stopping import EarlyStopping
+    saves = []
+    es = EarlyStopping("m", patience=2, save_fn=lambda: saves.append(1))
+    # first step seeds everything and saves
+    assert not es.step(1.0, 0.5, {"H100": 0.5}, {"H100": 0.1})
+    assert es.res == {"H100": 0.1} and len(saves) == 1
+    # improvement: refresh res where valid >= FIRST valid, save
+    assert not es.step(0.9, 0.6, {"H100": 0.6}, {"H100": 0.2})
+    assert es.res == {"H100": 0.2} and len(saves) == 2
+    # two degradations -> patience exhausted
+    assert not es.step(0.8, 0.1, {"H100": 0.1}, {"H100": 0.9})
+    assert es.step(0.8, 0.1, {"H100": 0.1}, {"H100": 0.9})
+    assert es.res == {"H100": 0.2}  # degraded epochs never refresh res
+    # NaN aborts immediately
+    es2 = EarlyStopping("m", patience=5)
+    assert es2.step(float("nan"), 0.5, {"H100": 0.5}, {"H100": 0.1})
+
+
+def test_nan_guard():
+    from easydgl_tpu.train.profiler import NanGuard
+    g = NanGuard(every=1)
+    g.check(jnp.asarray(1.0))
+    with pytest.raises(FloatingPointError):
+        g.check(jnp.asarray(float("inf")))
