@@ -107,6 +107,15 @@ class Config:
         assert self.num_units % self.num_heads == 0
         return self.num_units // self.num_heads
 
+    @property
+    def matmul_dtype(self):
+        """None (= fp32 everywhere) or the reduced matmul dtype for mixed
+        precision (params stay fp32; accumulation is fp32)."""
+        if self.compute_dtype in ("float32", None, ""):
+            return None
+        import jax.numpy as jnp
+        return jnp.dtype(self.compute_dtype)
+
 
 def _p(model: str, **kw) -> Config:
     optim_kw = {}

@@ -123,7 +123,8 @@ def _bwd_hidden_kernel(h_ref, t_ref, b_ref, lab_ref, lse_ref, dl_ref,
     onehot = (cols == local).astype(jnp.float32)
 
     g = dl_ref[:] * p + dll_ref[:] * onehot        # dlogits tile
-    acc[:] += jax.lax.dot(g, t, preferred_element_type=jnp.float32)
+    acc[:] += jax.lax.dot(g.astype(t.dtype), t,
+                          preferred_element_type=jnp.float32)
 
     @pl.when(vj == num_v - 1)
     def _store():
@@ -155,7 +156,8 @@ def _bwd_table_kernel(h_ref, t_ref, b_ref, lab_ref, lse_ref, dl_ref,
     onehot = (cols == local).astype(jnp.float32)
 
     g = dl_ref[:] * p + dll_ref[:] * onehot        # (bn, bv)
-    t_acc[:] += jax.lax.dot_general(g, h, (((0,), (0,)), ((), ())),
+    t_acc[:] += jax.lax.dot_general(g.astype(h.dtype), h,
+                                    (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
     b_acc[:] += jnp.sum(g, axis=0, keepdims=True)
 
@@ -260,7 +262,8 @@ def _catalog_bwd(block_n, block_v, res, grads):
             dimension_semantics=("parallel", "arbitrary")),
     )(hp, tp, bp, lab2, lse2, dlse2, dll2)
 
-    return dh[:n], dt[:v], db[0, :v], None
+    return (dh[:n].astype(hidden.dtype), dt[:v].astype(table.dtype),
+            db[0, :v].astype(bias.dtype), None)
 
 
 catalog_nll.defvjp(lambda h, t, b, l, bn, bv: _catalog_fwd(h, t, b, l, bn, bv),

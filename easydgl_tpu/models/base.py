@@ -16,6 +16,8 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from easydgl_tpu.nn.layers import mxu_einsum
+
 from easydgl_tpu.config import Config
 
 # Aux dict keys
@@ -70,8 +72,7 @@ def tied_logits(hidden: jnp.ndarray, table: jnp.ndarray,
     pjit the table arrives row-sharded over the "model" axis and XLA emits
     a vocab-sharded matmul.
     """
-    return jnp.einsum("nc,vc->nv", hidden, table,
-                      preferred_element_type=jnp.float32) + bias
+    return mxu_einsum("nc,vc->nv", hidden, table) + bias
 
 
 class SequentialModel(nn.Module):

@@ -69,7 +69,8 @@ class GREC(SequentialModel):
                             (cfg.num_units, self.vocab_size))
         head_b = self.param("head_bias", nn.initializers.zeros,
                             (self.vocab_size,))
-        logits = hidden @ head_w + head_b
+        from easydgl_tpu.nn.layers import mxu_einsum
+        logits = mxu_einsum("nc,cv->nv", hidden, head_w) + head_b
 
         aux = {}
         if is_training:

@@ -23,7 +23,7 @@ from easydgl_tpu.models.base import (SCORING, OutputBias, SequentialModel,
                                      tied_logits)
 from easydgl_tpu.nn.attention import MultiHeadAttention
 from easydgl_tpu.nn.coding import Embedding, PositionCoding, TimeSinusoidCoding
-from easydgl_tpu.nn.layers import ContribLayerNorm, Dense, FeedForward
+from easydgl_tpu.nn.layers import mxu_einsum, ContribLayerNorm, Dense, FeedForward
 from easydgl_tpu.nn.mate import MATEncoder, TAHEncoder
 
 
@@ -96,10 +96,8 @@ class TimelyREC(SequentialModel):
         pq = Dense(cfg.num_units, use_bias=False, name="period_q")(user_outs)
         pq = pq[:, :, None, :]                                  # (B, S, 1, H)
         pk = jnp.stack([p_month, p_day, p_weekday, p_hour], axis=2)
-        pw = nn.sigmoid(jnp.einsum("bsoh,bsgh->bsog", pq, pk,
-                                   preferred_element_type=jnp.float32))
-        period_outs = jnp.einsum("bsog,bsgh->bsh", pw, pk,
-                                 preferred_element_type=jnp.float32)
+        pw = nn.sigmoid(mxu_einsum("bsoh,bsgh->bsog", pq, pk))
+        period_outs = mxu_einsum("bsog,bsgh->bsh", pw, pk)
 
         # ---- TAHE (TimelyREC.py:138-148)
         seqs_inputs = item_embs(ids)

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easydgl_tpu.nn.layers import (Dense, NEG_INF_LOGIT, merge_heads,
+from easydgl_tpu.nn.layers import (mxu_einsum,
+                                   Dense, NEG_INF_LOGIT, merge_heads,
                                    split_heads, truncated_normal)
 
 
@@ -35,8 +36,7 @@ def attention_probs(q: jnp.ndarray, k: jnp.ndarray, *,
     adds interval/position biases pre-scale, temporal.py:55-62).
     """
     d = q.shape[-1]
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
+    logits = mxu_einsum("bhqd,bhkd->bhqk", q, k)
     if bias is not None:
         logits = logits + bias
     logits = logits * (scale if scale is not None else 1.0 / (d ** 0.5))
@@ -66,8 +66,7 @@ class MultiHeadAttention(nn.Module):
         key_mask = jnp.sign(jnp.abs(jnp.sum(keys, axis=-1)))
         probs = attention_probs(q, k, key_mask=key_mask, causal=causality)
         probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
-        ctx = merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                                     preferred_element_type=jnp.float32))
+        ctx = merge_heads(mxu_einsum("bhqk,bhkd->bhqd", probs, v))
         return ctx + queries[:, :, :self.num_units]
 
 
@@ -89,13 +88,11 @@ class BERTAttention(nn.Module):
         v = split_heads(Dense(self.num_units, kernel_init=init, name="v")(keys),
                         self.num_heads)
         d = q.shape[-1]
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / (d ** 0.5)
+        logits = mxu_einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
         mask = attention_mask if attention_mask.ndim == 4 \
             else attention_mask[:, None]
         logits = jnp.where(mask != 0, logits, NEG_INF_LOGIT)
         probs = jax.nn.softmax(logits, axis=-1)
         probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                         preferred_element_type=jnp.float32)
+        ctx = mxu_einsum("bhqk,bhkd->bhqd", probs, v)
         return merge_heads(ctx)

@@ -16,6 +16,8 @@ Parity notes vs the reference:
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from functools import partial
 from typing import Callable, Optional, Sequence
 
@@ -27,10 +29,46 @@ from flax import linen as nn
 glorot = nn.initializers.glorot_uniform
 truncated_normal = nn.initializers.truncated_normal
 
+# ---------------------------------------------------------------------------
+# Mixed precision: a trace-time compute dtype consulted by every Dense layer
+# and heavy einsum. Params stay fp32; matmul operands are cast (bf16 hits the
+# MXU's fast path with fp32 accumulation via preferred_element_type).
+# LayerNorm / softmax / losses always compute in fp32.
+# ---------------------------------------------------------------------------
+_COMPUTE_DTYPE: contextvars.ContextVar = contextvars.ContextVar(
+    "compute_dtype", default=None)
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE.get()
+
+
+@contextlib.contextmanager
+def use_compute_dtype(dtype):
+    """Trace-time context: dtype=None (fp32 everywhere) or jnp.bfloat16."""
+    token = _COMPUTE_DTYPE.set(dtype)
+    try:
+        yield
+    finally:
+        _COMPUTE_DTYPE.reset(token)
+
+
+def mxu_einsum(eq: str, *ops) -> jnp.ndarray:
+    """einsum whose operands are cast to the active compute dtype, with
+    fp32 accumulation — the MXU-friendly form of every attention/score
+    contraction in this framework."""
+    dt = compute_dtype()
+    if dt is not None:
+        ops = [o.astype(dt) for o in ops]
+    return jnp.einsum(eq, *ops, preferred_element_type=jnp.float32)
+
 
 def Dense(features: int, use_bias: bool = True, kernel_init=None,
-          name: Optional[str] = None, dtype=None) -> nn.Dense:
-    """tf.layers.dense equivalent (glorot-uniform kernel, zero bias)."""
+          name: Optional[str] = None, dtype="ctx") -> nn.Dense:
+    """tf.layers.dense equivalent (glorot-uniform kernel, zero bias).
+    dtype="ctx" resolves the active compute dtype (mixed precision)."""
+    if dtype == "ctx":
+        dtype = compute_dtype()
     return nn.Dense(features, use_bias=use_bias,
                     kernel_init=kernel_init or glorot(),
                     bias_init=nn.initializers.zeros, name=name, dtype=dtype)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easydgl_tpu.nn.layers import Dense
+from easydgl_tpu.nn.layers import mxu_einsum, Dense
 
 
 class MATEncoder(nn.Module):
@@ -23,12 +23,10 @@ class MATEncoder(nn.Module):
         u = Dense(h, use_bias=False, name="user_proj")(users)[:, :, None, :]
         q = queries * u                       # (B, S, 1, H)
         k = keys * u                          # (B, S, W, H)
-        logits = jnp.einsum("bsoh,bswh->bsow", q, k,
-                            preferred_element_type=jnp.float32)
+        logits = mxu_einsum("bsoh,bswh->bsow", q, k)
         logits = logits / jnp.sqrt(jnp.float32(h))
         probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bsow,bswh->bsoh", probs, k,
-                         preferred_element_type=jnp.float32)
+        out = mxu_einsum("bsow,bswh->bsoh", probs, k)
         return out[:, :, 0, :]                # (B, S, H)
 
 
@@ -41,10 +39,8 @@ class TAHEncoder(nn.Module):
             jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
         kn = keys / jnp.maximum(
             jnp.linalg.norm(keys, axis=-1, keepdims=True), 1e-12)
-        cos = jnp.einsum("bqh,bkh->bqk", qn, kn,
-                         preferred_element_type=jnp.float32)
+        cos = mxu_einsum("bqh,bkh->bqk", qn, kn)
         w = (1.0 + cos) / 2.0
         s = w.shape[-1]
         w = w * jnp.tril(jnp.ones((s, s), w.dtype))[None]
-        return jnp.einsum("bqk,bkh->bqh", w, histories,
-                          preferred_element_type=jnp.float32)
+        return mxu_einsum("bqk,bkh->bqh", w, histories)

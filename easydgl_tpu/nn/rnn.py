@@ -59,14 +59,18 @@ class CudnnGRU(nn.Module):
             br = self.param(f"br_{layer}", nn.initializers.zeros, (3 * c,))
 
             # Hoist all input projections into one MXU matmul: (B, T, 3C)
-            xw = jnp.einsum("btc,cd->btd", x, w,
-                            preferred_element_type=jnp.float32) + bw
+            from easydgl_tpu.nn.layers import compute_dtype, mxu_einsum
+            xw = mxu_einsum("btc,cd->btd", x, w) + bw
+            cdt = compute_dtype()
+            r_c = r.astype(cdt) if cdt is not None else r
 
             init = (h0[layer] if h0 is not None
                     else jnp.zeros((b, c), xw.dtype))
 
-            def step(h, xw_t, r=r, br=br, c=c):
-                hr = h @ r + br                      # (B, 3C)
+            def step(h, xw_t, r=r_c, br=br, c=c):
+                hc = h.astype(r.dtype) if h.dtype != r.dtype else h
+                hr = jnp.dot(hc, r,
+                             preferred_element_type=jnp.float32) + br
                 xr_g, xu_g, xh_g = jnp.split(xw_t, 3, axis=-1)
                 hr_g, hu_g, hh_g = jnp.split(hr, 3, axis=-1)
                 rg = jax.nn.sigmoid(xr_g + hr_g)

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easydgl_tpu.nn.layers import (Dense, NEG_INF_LOGIT, glorot, merge_heads,
+from easydgl_tpu.nn.layers import (mxu_einsum,
+                                   Dense, NEG_INF_LOGIT, glorot, merge_heads,
                                    split_heads)
 
 # reference WEIGHT_INITIALIZER = tf.random_normal_initializer(stddev=0.02)
@@ -76,12 +77,9 @@ class TiMultiHeadAttention(nn.Module):
         vi = _split_heads_4d(v_int, h)
         d = q.shape[-1]
 
-        logits = (jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                             preferred_element_type=jnp.float32)
-                  + jnp.einsum("bhqd,bhkd->bhqk", q, kp,
-                               preferred_element_type=jnp.float32)
-                  + jnp.einsum("bhqkd,bhqd->bhqk", ki, q,
-                               preferred_element_type=jnp.float32))
+        logits = (mxu_einsum("bhqd,bhkd->bhqk", q, k)
+                  + mxu_einsum("bhqd,bhkd->bhqk", q, kp)
+                  + mxu_einsum("bhqkd,bhqd->bhqk", ki, q))
         logits = logits / (d ** 0.5)
         key_mask = jnp.sign(jnp.sum(jnp.abs(keys), axis=-1))  # temporal.py:65
         logits = _mask_logits(logits, key_mask, causality)
@@ -92,12 +90,9 @@ class TiMultiHeadAttention(nn.Module):
         probs = probs * query_mask[:, None, :, None]
         probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
 
-        out = (jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                          preferred_element_type=jnp.float32)
-               + jnp.einsum("bhqk,bhkd->bhqd", probs, vp,
-                            preferred_element_type=jnp.float32)
-               + jnp.einsum("bhqk,bhqkd->bhqd", probs, vi,
-                            preferred_element_type=jnp.float32))
+        out = (mxu_einsum("bhqk,bhkd->bhqd", probs, v)
+               + mxu_einsum("bhqk,bhkd->bhqd", probs, vp)
+               + mxu_einsum("bhqk,bhqkd->bhqd", probs, vi))
         return merge_heads(out) + queries
 
 
@@ -118,19 +113,15 @@ class TfMultiHeadAttention(nn.Module):
         ki = _split_heads_4d(k_int, h)
         d = q.shape[-1]
 
-        logits = (jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                             preferred_element_type=jnp.float32)
-                  + jnp.einsum("bhqd,bhkd->bhqk", q, kp,
-                               preferred_element_type=jnp.float32)
-                  + jnp.einsum("bhqkd,bhqd->bhqk", ki, q,
-                               preferred_element_type=jnp.float32))
+        logits = (mxu_einsum("bhqd,bhkd->bhqk", q, k)
+                  + mxu_einsum("bhqd,bhkd->bhqk", q, kp)
+                  + mxu_einsum("bhqkd,bhqd->bhqk", ki, q))
         logits = logits / (d ** 0.5)
         key_mask = jnp.sign(jnp.sum(jnp.abs(keys), axis=-1))
         logits = _mask_logits(logits, key_mask, causality)
         probs = jax.nn.softmax(logits, axis=-1)
         probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                         preferred_element_type=jnp.float32)
+        out = mxu_einsum("bhqk,bhkd->bhqd", probs, v)
         return merge_heads(out) + queries
 
 
@@ -163,13 +154,11 @@ class TgMultiHeadAttention(nn.Module):
         v = _split_heads_4d(Dense(self.num_units, name="v")(k4), h)
         d = q.shape[-1]
 
-        logits = jnp.einsum("bhqod,bhqkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / (d ** 0.5)
+        logits = mxu_einsum("bhqod,bhqkd->bhqk", q, k) / (d ** 0.5)
         logits = _mask_logits(logits, key_mask, causality)
         probs = jax.nn.softmax(logits, axis=-1)
         probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
-        out = jnp.einsum("bhqk,bhqkd->bhqd", probs, v,
-                         preferred_element_type=jnp.float32)
+        out = mxu_einsum("bhqk,bhqkd->bhqd", probs, v)
         out = merge_heads(out)  # (B, Tq, C)
 
         out = Dense(2 * self.num_units, name="merge")(out)
@@ -225,13 +214,10 @@ class MAU(nn.Module):
         x = jnp.concatenate([h_units, iv.astype(h_units.dtype)], axis=-1)
         x = jax.nn.sigmoid(self.intensity_dense(x))     # (B,H,Tq,dh*E)
         x = x.reshape(b, h, tq, e, dh)                  # event-major split
-        raw = jnp.einsum("bhqed,ed->bhqe", x, self.intensity_weight,
-                         preferred_element_type=jnp.float32)
+        raw = mxu_einsum("bhqed,ed->bhqe", x, self.intensity_weight)
         s = jnp.exp(self.intensity_scaling)             # (E,)
         mark_intensity = s * jax.nn.softplus(raw / s)   # (B,H,Tq,E)
-        intensity_qk = jnp.einsum("bhqe,bke->bhqk", mark_intensity,
-                                  mark_onehot.astype(mark_intensity.dtype),
-                                  preferred_element_type=jnp.float32)
+        intensity_qk = mxu_einsum("bhqe,bke->bhqk", mark_intensity, mark_onehot.astype(mark_intensity.dtype))
         return intensity_qk, mark_intensity
 
     @staticmethod
@@ -272,13 +258,11 @@ class MAU(nn.Module):
         v, t = split_heads(vv, h), split_heads(tt, h)
         d = q.shape[-1]
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / (d ** 0.5)
+        logits = mxu_einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
         logits = _mask_logits(logits, key_mask, causality)
         probs = jax.nn.softmax(logits, axis=-1)
 
-        seq_units = jnp.einsum("bhqk,bhkd->bhqd", probs, t,
-                               preferred_element_type=jnp.float32)
+        seq_units = mxu_einsum("bhqk,bhkd->bhqd", probs, t)
         intensity_qk, mark_intensity = self.intensity(
             seq_units, intervals, mark_onehot)
 
@@ -289,8 +273,7 @@ class MAU(nn.Module):
 
         modulated = intensity_qk * probs
         modulated = self.dropout(modulated, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", modulated, v,
-                         preferred_element_type=jnp.float32)
+        out = mxu_einsum("bhqk,bhkd->bhqd", modulated, v)
         out = merge_heads(out) + queries[:, :, :self.num_units]
         return out, mark_intensity
 

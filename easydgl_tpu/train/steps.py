@@ -85,7 +85,10 @@ def _kernel_enabled(cfg: Config) -> bool:
 def compute_loss(model: SequentialModel, params, features: Dict, labels,
                  rngs: Optional[Dict] = None) -> jnp.ndarray:
     cfg = model.cfg
-    logits, aux = model.apply(params, features, is_training=True, rngs=rngs)
+    from easydgl_tpu.nn.layers import use_compute_dtype
+    with use_compute_dtype(cfg.matmul_dtype):
+        logits, aux = model.apply(params, features, is_training=True,
+                                  rngs=rngs)
     flat = labels.reshape(-1)
     from easydgl_tpu.models.base import SCORING
     if SCORING in aux and _kernel_enabled(cfg):
@@ -96,6 +99,9 @@ def compute_loss(model: SequentialModel, params, features: Dict, labels,
         v = table.shape[0]
         block_n = min(512, _round8(hidden.shape[0]))
         block_v = min(2048, _round128(v))
+        dt = cfg.matmul_dtype
+        if dt is not None:
+            hidden, table = hidden.astype(dt), table.astype(dt)
         lse, ll = catalog_nll(hidden, table, bias, flat, block_n, block_v)
         ce = lse - ll
     else:
@@ -154,7 +160,9 @@ def build_eval_step(model: SequentialModel):
     mask_seen = model.cfg.mask_seen
 
     def step(params, features, labels, valid):
-        logits, _ = model.apply(params, features, is_training=False)
+        from easydgl_tpu.nn.layers import use_compute_dtype
+        with use_compute_dtype(model.cfg.matmul_dtype):
+            logits, _ = model.apply(params, features, is_training=False)
         if mask_seen:
             logits = mask_seen_logits(logits, features["seqs_i"])
         true_items = labels[:, -1]   # eval truth = last position (Base.py:169)
@@ -172,7 +180,9 @@ def build_analytics_step(model: SequentialModel):
     mask_seen = model.cfg.mask_seen
 
     def step(params, features, labels, valid):
-        logits, _ = model.apply(params, features, is_training=False)
+        from easydgl_tpu.nn.layers import use_compute_dtype
+        with use_compute_dtype(model.cfg.matmul_dtype):
+            logits, _ = model.apply(params, features, is_training=False)
         ranked = mask_seen_logits(logits, features["seqs_i"]) if mask_seen \
             else logits
         return logits, metric_sums(ranked, labels[:, -1], valid)

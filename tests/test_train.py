@@ -154,3 +154,25 @@ def test_nan_guard():
     g.check(jnp.asarray(1.0))
     with pytest.raises(FloatingPointError):
         g.check(jnp.asarray(float("inf")))
+
+
+def test_bf16_compute_matches_f32_roughly():
+    """Mixed precision (bf16 matmuls, fp32 accumulation/params) must stay
+    close to the fp32 loss and keep eval metrics sane."""
+    tr, vl, te = _splits()
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = _cfg("SASREC", hidden_dropout_rate=0.0,
+                   attention_probs_dropout_rate=0.0).replace(compute_dtype=dt)
+        model = build_model(cfg)
+        trl, _, _ = make_loaders(cfg, model, tr, vl, te)
+        features, labels, _ = next(trl.epoch(0))
+        feats = {k: jnp.asarray(v) for k, v in features.items()}
+        params = model.init({"params": jax.random.key(0),
+                             "dropout": jax.random.key(1)},
+                            feats, is_training=True)
+        losses[dt] = float(compute_loss(model, params, feats,
+                                        jnp.asarray(labels),
+                                        {"dropout": jax.random.key(2)}))
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
+                               rtol=0.05)
