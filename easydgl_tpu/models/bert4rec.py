@@ -3,8 +3,7 @@
 Parity with reference src/model/BERT4REC.py:
 * seqslen+1 positions, vocab num_items+2 (MASK id = num_items,
   BERT4REC.py:43-45);
-* embeddings WITHOUT sqrt(d) scale + ADDED position codes + LN + dropout
-  (:61-70);
+* scaled embeddings + ADDED position codes + LN + dropout (:61-70);
 * post-LN BERT blocks (attention -> dense+dropout+LN(residual) ->
   2C GELU intermediate -> dense+dropout+LN(residual), :84-111);
 * GELU transform head + LN (:114-117);
@@ -41,8 +40,10 @@ class BERT4REC(SequentialModel):
         cfg = self.cfg
         ids = features["seqs_i"]
         det = not is_training
+        # reference uses Embedding's default scale=True (sqrt(d) scaling,
+        # BERT4REC.py:43 passes no scale argument -> coding.py:47 default)
         item_embs = Embedding(self.vocab_size, cfg.num_units, zero_pad=True,
-                              scale=False, name="item_embs")
+                              scale=True, name="item_embs")
         x = item_embs(ids)
         x = x + PositionCoding(self.model_seqslen, cfg.num_units,
                                name="pcoding").code(x)
