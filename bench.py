@@ -69,9 +69,11 @@ def main():
     for i in range(STEPS):
         feats, labels = batches[i % len(batches)]
         state, loss = step(state, feats, labels, rng)
-    loss.block_until_ready()
+    # close the timed region with a host transfer of the final loss — the
+    # only airtight completion barrier across remote-execution backends
+    final_loss = float(loss)
     dt = time.perf_counter() - t0
-    assert float(loss) == float(loss), "NaN loss in benchmark"
+    assert final_loss == final_loss, "NaN loss in benchmark"
 
     ex_per_sec = STEPS * cfg.batch_size / dt
     print(json.dumps({

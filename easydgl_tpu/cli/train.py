@@ -27,6 +27,8 @@ def parse_args(argv=None):
     p.add_argument("--synthetic_rows", type=int, default=2048)
     p.add_argument("--mark", help=".npy multi-hot mark table (CTSMA/EasyDGL)")
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --ckpt_dir")
     p.add_argument("--num_items", type=int)
     p.add_argument("--seqslen", type=int)
     p.add_argument("--num_units", type=int)
@@ -94,6 +96,13 @@ def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(message)s")
+    try:  # persistent compile cache: repeated runs skip XLA compilation
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     args = parse_args(argv)
     cfg = build_config(args)
     (train, valid, test), mark, cfg = load_data(args, cfg)
@@ -101,7 +110,7 @@ def main(argv=None):
 
     from easydgl_tpu.train.loop import train_model
     state, summary = train_model(cfg, train, valid, test, mark_table=mark,
-                                 ckpt_dir=args.ckpt_dir)
+                                 ckpt_dir=args.ckpt_dir, resume=args.resume)
     return summary
 
 

@@ -27,6 +27,50 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class BlockLSTM(nn.Module):
+    """Fused-gate LSTM, the TPU equivalent of the reference's vendored
+    ``lstm_ops`` block LSTM (compat/lstm_ops.py:122,208,654 — native
+    gen_rnn_ops kernels). No reference model consumes LSTM directly (it
+    backs the cuDNN compat cells only); provided for API completeness.
+
+    Gate math matches LSTMBlockCell (forget_bias added to f, no peepholes):
+        i,c',f,o = split(x W + h R + b); c = sigma(f + fb)*c + sigma(i)*tanh(c')
+        h = sigma(o) * tanh(c)
+    """
+    num_units: int
+    forget_bias: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, init=None):
+        b, t, in_c = x.shape
+        c_ = self.num_units
+        orth = nn.initializers.orthogonal()
+        w = self.param("w", orth, (in_c, 4 * c_))
+        r = self.param("r", orth, (c_, 4 * c_))
+        bias = self.param("b", nn.initializers.zeros, (4 * c_,))
+
+        from easydgl_tpu.nn.layers import compute_dtype, mxu_einsum
+        xw = mxu_einsum("btc,cd->btd", x, w) + bias
+        cdt = compute_dtype()
+        r_c = r.astype(cdt) if cdt is not None else r
+
+        if init is None:
+            init = (jnp.zeros((b, c_), xw.dtype), jnp.zeros((b, c_), xw.dtype))
+
+        def step(carry, xw_t, r=r_c, c_units=c_):
+            c_prev, h_prev = carry
+            hc = h_prev.astype(r.dtype) if h_prev.dtype != r.dtype else h_prev
+            gates = xw_t + jnp.dot(hc, r, preferred_element_type=jnp.float32)
+            i, cc, f, o = jnp.split(gates, 4, axis=-1)
+            c_new = (jax.nn.sigmoid(f + self.forget_bias) * c_prev +
+                     jax.nn.sigmoid(i) * jnp.tanh(cc))
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (c_new, h_new), h_new
+
+        (c_fin, h_fin), outs = jax.lax.scan(step, init, xw.transpose(1, 0, 2))
+        return outs.transpose(1, 0, 2), (c_fin, h_fin)
+
+
 class CudnnGRU(nn.Module):
     """Multi-layer unidirectional GRU with cuDNN gate math.
 

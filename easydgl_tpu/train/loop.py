@@ -54,7 +54,8 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
                 test_ds: PackedDataset,
                 mark_table: Optional[np.ndarray] = None,
                 ckpt_dir: Optional[str] = None,
-                num_epochs: Optional[int] = None
+                num_epochs: Optional[int] = None,
+                resume: bool = False
                 ) -> Tuple[TrainState, Dict[str, float]]:
     model = build_model(cfg)
     tr_loader, vl_loader, te_loader = make_loaders(
@@ -69,13 +70,20 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
     rng = jax.random.key(cfg.seed)
 
     ckpt = Checkpointer(ckpt_dir) if ckpt_dir else None
+    start_epoch = 0
+    if resume and ckpt is not None and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        steps_per_epoch = max(tr_loader.num_batches(), 1)
+        start_epoch = int(state.step) // steps_per_epoch
+        log.info("resumed from step %d (epoch %d)", int(state.step),
+                 start_epoch)
     state_ref = [state]
     stopper = EarlyStopping(
         cfg.model, cfg.patience,
         save_fn=(lambda: ckpt.save(state_ref[0])) if ckpt else None)
 
     epochs = num_epochs if num_epochs is not None else cfg.num_epochs
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
         for features, labels, _ in tr_loader.epoch(epoch):

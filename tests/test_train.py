@@ -176,3 +176,61 @@ def test_bf16_compute_matches_f32_roughly():
                                         {"dropout": jax.random.key(2)}))
     np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
                                rtol=0.05)
+
+
+def test_block_lstm_math(rng):
+    """BlockLSTM vs literal NumPy LSTMBlockCell equations."""
+    from easydgl_tpu.nn.rnn import BlockLSTM
+    b, t, c = 2, 4, 3
+    x = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+    lstm = BlockLSTM(num_units=c)
+    params = lstm.init(jax.random.key(0), x)
+    out, (cf, hf) = lstm.apply(params, x)
+    p = jax.tree.map(np.asarray, params["params"])
+    w, r, bias = p["w"], p["r"], p["b"]
+    sig = lambda v: 1/(1+np.exp(-v))
+    cs = np.zeros((b, c)); hs = np.zeros((b, c)); ref = []
+    for s in range(t):
+        g = np.asarray(x)[:, s] @ w + hs @ r + bias
+        i, cc, f, o = np.split(g, 4, axis=-1)
+        cs = sig(f + 1.0) * cs + sig(i) * np.tanh(cc)
+        hs = sig(o) * np.tanh(cs)
+        ref.append(hs.copy())
+    np.testing.assert_allclose(np.asarray(out), np.stack(ref, 1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_train_step_determinism():
+    """Same seeds -> bit-identical losses (the reference's determinism
+    harness, main.py:157-168, as a test)."""
+    cfg = _cfg("SASREC")
+    tr, vl, te = _splits()
+    model = build_model(cfg)
+    trl, _, _ = make_loaders(cfg, model, tr, vl, te)
+    outs = []
+    for _ in range(2):
+        features, labels, _ = next(trl.epoch(0))
+        feats = {k: jnp.asarray(v) for k, v in features.items()}
+        state = init_state(model, feats, 0)
+        step = build_train_step(model, donate=False)
+        losses = []
+        for e in range(2):
+            for features, labels, _ in trl.epoch(e):
+                feats = {k: jnp.asarray(v) for k, v in features.items()}
+                state, loss = step(state, feats, jnp.asarray(labels),
+                                   jax.random.key(7))
+                losses.append(float(loss))
+        outs.append(losses)
+    assert outs[0] == outs[1]
+
+
+def test_resume_roundtrip(tmp_path):
+    """train -> checkpoint -> resume continues from the saved step."""
+    cfg = _cfg("GRU4REC", num_heads=1, patience=100)
+    tr, vl, te = _splits(n=64)
+    state1, _ = train_model(cfg, tr, vl, te, ckpt_dir=str(tmp_path),
+                            num_epochs=2)
+    state2, _ = train_model(cfg, tr, vl, te, ckpt_dir=str(tmp_path),
+                            num_epochs=2, resume=True)
+    # resumed run starts at epoch 2 == num_epochs -> no extra training
+    assert int(state2.step) == int(state1.step)
