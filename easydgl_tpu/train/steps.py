@@ -147,6 +147,41 @@ def build_train_step(model: SequentialModel, donate: bool = True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def build_multi_step(model: SequentialModel, donate: bool = True):
+    """K train steps in ONE dispatch: lax.scan over a stacked batch pytree
+    ((K, B, ...) features / (K, B, ...) labels). Amortizes per-step launch
+    overhead — the TPU-side equivalent of the reference's sess.run hot loop
+    (src/main.py:115-122) without the per-step Python/runtime crossing.
+
+    Returns jitted (state, stacked_features, stacked_labels, rng) ->
+    (state, (K,) losses).
+    """
+    tx = build_optimizer(model.cfg.optim)
+
+    def one(state: TrainState, batch):
+        features, labels = batch
+        dropout_rng = jax.random.fold_in(jax.random.key(0), state.step)
+        loss, grads = jax.value_and_grad(
+            lambda p: compute_loss(model, p, features, labels,
+                                   {"dropout": dropout_rng}))(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def multi(state: TrainState, features, labels, rng):
+        del rng  # per-step rng derives from the global step counter
+        return jax.lax.scan(one, state, (features, labels))
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(batches):
+    """[(features, labels), ...] -> stacked pytrees with a leading K dim."""
+    feats = jax.tree.map(lambda *xs: jnp.stack(xs), *[b[0] for b in batches])
+    labels = jnp.stack([b[1] for b in batches])
+    return feats, labels
+
+
 def init_state(model: SequentialModel, sample_features: Dict,
                seed: int = 0) -> TrainState:
     tx = build_optimizer(model.cfg.optim)

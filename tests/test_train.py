@@ -234,3 +234,36 @@ def test_resume_roundtrip(tmp_path):
                             num_epochs=2, resume=True)
     # resumed run starts at epoch 2 == num_epochs -> no extra training
     assert int(state2.step) == int(state1.step)
+
+
+def test_multi_step_matches_sequential():
+    """K scanned steps must equal K sequential steps (same rng derivation
+    is step-counter-based in both paths is NOT guaranteed — the scan path
+    derives dropout from the step counter — so compare with dropout off)."""
+    from easydgl_tpu.train.steps import build_multi_step, stack_batches
+    cfg = _cfg("SASREC", hidden_dropout_rate=0.0,
+               attention_probs_dropout_rate=0.0)
+    tr, vl, te = _splits()
+    model = build_model(cfg)
+    trl, _, _ = make_loaders(cfg, model, tr, vl, te)
+    batches = []
+    for features, labels, _ in trl.epoch(0):
+        feats = {k: jnp.asarray(v) for k, v in features.items()}
+        batches.append((feats, jnp.asarray(labels)))
+    batches = batches[:4]
+    state = init_state(model, batches[0][0], 0)
+
+    step = build_train_step(model, donate=False)
+    s1 = state
+    seq_losses = []
+    for f, l in batches:
+        s1, loss = step(s1, f, l, jax.random.key(0))
+        seq_losses.append(float(loss))
+
+    multi = build_multi_step(model, donate=False)
+    sf, sl = stack_batches(batches)
+    s2, losses = multi(state, sf, sl, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
