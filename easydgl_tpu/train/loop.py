@@ -41,12 +41,29 @@ def make_loaders(cfg: Config, model: SequentialModel,
             BatchLoader(test, is_training=False, **kw))
 
 
+def device_prefetch(iterator, size: int = 2):
+    """Keep ``size`` batches in flight on-device (async device_put) so host
+    batch assembly and H2D transfer overlap device compute — the pipeline
+    role of the reference's tf.data prefetch (dataloader.py:245)."""
+    import collections
+    buf = collections.deque()
+
+    def put(item):
+        return jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x)), item)
+
+    for item in iterator:
+        buf.append(put(item))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def evaluate(eval_step, params, loader: BatchLoader) -> Dict[str, float]:
     acc = MetricAccumulator()
-    for features, labels, valid in loader.epoch():
-        feats = {k: jnp.asarray(v) for k, v in features.items()}
-        acc.update(eval_step(params, feats, jnp.asarray(labels),
-                             jnp.asarray(valid)))
+    for features, labels, valid in device_prefetch(loader.epoch()):
+        acc.update(eval_step(params, features, labels, valid))
     return acc.result()
 
 
@@ -86,9 +103,8 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
-        for features, labels, _ in tr_loader.epoch(epoch):
-            feats = {k: jnp.asarray(v) for k, v in features.items()}
-            state, loss = train_step(state, feats, jnp.asarray(labels), rng)
+        for features, labels, _ in device_prefetch(tr_loader.epoch(epoch)):
+            state, loss = train_step(state, features, labels, rng)
             losses.append(loss)
         state_ref[0] = state
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else np.nan
