@@ -93,9 +93,12 @@ def load_data(args, cfg):
 
 
 def main(argv=None):
+    # console + ./model.log, mirroring the reference's conf/logging.conf
     logging.basicConfig(
         level=logging.INFO,
-        format="%(asctime)s %(levelname)s %(message)s")
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=[logging.StreamHandler(),
+                  logging.FileHandler("model.log")])
     try:  # persistent compile cache: repeated runs skip XLA compilation
         import jax
         jax.config.update("jax_compilation_cache_dir",
