@@ -27,15 +27,19 @@ def distributed_top_k(logits: jnp.ndarray, k: int, mesh: Mesh, *,
     n_shards = mesh.shape[model_axis]
     v = logits.shape[-1]
     shard_v = v // n_shards
+    # per-shard candidates: enough that the merged pool of
+    # n_shards * k_local always contains the true global top-k
+    k_local = min(k, shard_v)
+    assert n_shards * k_local >= min(k, v), "catalog too small for k"
 
     def local(lg):
-        vals, idx = jax.lax.top_k(lg, k)                       # (n, k) local
+        vals, idx = jax.lax.top_k(lg, k_local)                 # local top
         offset = jax.lax.axis_index(model_axis) * shard_v
         gidx = idx + offset
-        # gather all shards' candidates: (n, n_shards * k)
+        # gather all shards' candidates: (n, n_shards * k_local)
         cat_vals = jax.lax.all_gather(vals, model_axis, axis=1, tiled=True)
         cat_idx = jax.lax.all_gather(gidx, model_axis, axis=1, tiled=True)
-        fv, fi = jax.lax.top_k(cat_vals, k)
+        fv, fi = jax.lax.top_k(cat_vals, min(k, cat_vals.shape[-1]))
         return fv, jnp.take_along_axis(cat_idx, fi, axis=1)
 
     return jax.shard_map(

@@ -30,10 +30,12 @@ def mask_seen_logits(logits: jnp.ndarray, seen_ids: jnp.ndarray
                      ) -> jnp.ndarray:
     """Scatter -inf over every input item id (Base.py:156-163). ``seen_ids``
     includes padding id 0 and (for masked models) the MASK id — exactly as
-    the reference scatters features['seqs_i']."""
+    the reference scatters features['seqs_i']. ADDs like the reference's
+    sparse-to-dense += (duplicate ids accumulate), keeping tie-break order
+    identical to the distributed shard-local variant."""
     b = logits.shape[0]
     rows = jnp.arange(b)[:, None]
-    return logits.at[rows, seen_ids].set(NEG_MASK)
+    return logits.at[rows, seen_ids].add(NEG_MASK)
 
 
 _GAIN = (1.0 / np.log2(np.arange(2, MAX_K + 2))).astype(np.float32)

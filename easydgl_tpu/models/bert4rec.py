@@ -75,5 +75,5 @@ class BERT4REC(SequentialModel):
                                  features.get("masked_positions"))
         bias = OutputBias(self.vocab_size, name="out_bias")()
         table = item_embs.table()
-        aux = {SCORING: (hidden, table, bias)} if is_training else {}
+        aux = {SCORING: (hidden, table, bias)}
         return tied_logits(hidden, table, bias), aux

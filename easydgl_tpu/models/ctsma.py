@@ -62,9 +62,8 @@ class CTSMA(SequentialModel):
         hidden = prediction_rows(x, is_training)
         bias = OutputBias(cfg.num_items, name="out_bias")()
         table = item_embs.table()
-        aux = {INTENSITIES: tuple(intensities)}
-        if is_training:
-            aux[SCORING] = (hidden, table, bias)
+        aux = {INTENSITIES: tuple(intensities),
+               SCORING: (hidden, table, bias)}
         return tied_logits(hidden, table, bias), aux
 
     def tpp_regularizer(self, aux, features, labels, next_marks):

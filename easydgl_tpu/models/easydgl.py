@@ -111,9 +111,8 @@ class EasyDGL(SequentialModel):
                                  features.get("masked_positions"))
         bias = OutputBias(self.vocab_size, name="out_bias")()
         table = item_embs.table()
-        aux = {INTENSITIES: tuple(intensities)}
-        if is_training:
-            aux[SCORING] = (hidden, table, bias)
+        aux = {INTENSITIES: tuple(intensities),
+               SCORING: (hidden, table, bias)}
         return tied_logits(hidden, table, bias), aux
 
     def tpp_regularizer(self, aux, features, labels, next_marks):

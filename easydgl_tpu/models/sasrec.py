@@ -55,5 +55,5 @@ class SASREC(SequentialModel):
         hidden = prediction_rows(x, is_training)
         bias = OutputBias(cfg.num_items, name="out_bias")()
         table = item_embs.table()
-        aux = {SCORING: (hidden, table, bias)} if is_training else {}
+        aux = {SCORING: (hidden, table, bias)}
         return tied_logits(hidden, table, bias), aux

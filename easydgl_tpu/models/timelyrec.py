@@ -128,4 +128,5 @@ class TimelyREC(SequentialModel):
         else:
             hidden = out[:, -1, :]
             logits = tied_logits(hidden, table, bias)
+            aux[SCORING] = (hidden, table, bias)
         return logits, aux

@@ -128,3 +128,49 @@ def test_sharded_train_step_matches_single(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5,
                                    err_msg=str(pa))
+
+
+def test_distributed_eval_matches_single(rng):
+    """Distributed full-catalog eval (sharded scoring + top-k merge) must
+    reproduce the single-device metric sums exactly (EasyDGL, 2x4 mesh)."""
+    from easydgl_tpu.data.loader import BatchLoader
+    from easydgl_tpu.data.synthetic import (synthetic_mark_table,
+                                            synthetic_split)
+    from easydgl_tpu.eval.evaluator import build_distributed_eval_step
+    from easydgl_tpu.models.registry import build_model
+    from easydgl_tpu.train.sharded import shard_state
+    from easydgl_tpu.train.steps import (build_eval_step, build_train_step,
+                                         init_state)
+
+    cfg = preset("EasyDGL").replace(
+        num_items=63, seqslen=8, num_units=16, num_heads=2, num_blocks=1,
+        num_events=4, masklen=3, batch_size=8, mask_seen=True,
+        hidden_dropout_rate=0.0, attention_probs_dropout_rate=0.0)
+    model = build_model(cfg)
+    assert model.vocab_size % 4 == 0
+
+    ds = synthetic_split(num_rows=16, num_items=cfg.num_items, seqslen=8,
+                         seed=5)
+    table = synthetic_mark_table(cfg.num_items, 4, seed=2)
+    tl = BatchLoader(ds, data_mode="mau", batch_size=8, masklen=3,
+                     is_training=True, mark_table=table, needs_marks=True)
+    el = BatchLoader(ds, data_mode="mau", batch_size=8, masklen=3,
+                     is_training=False, mark_table=table, needs_marks=True)
+    f0, _, _ = next(tl.epoch(0))
+    state = init_state(model, {k: jnp.asarray(v) for k, v in f0.items()}, 0)
+
+    features, labels, valid = next(el.epoch(0))
+    feats = {k: jnp.asarray(v) for k, v in features.items()}
+    labels, valid = jnp.asarray(labels), jnp.asarray(valid)
+
+    ref = jax.device_get(build_eval_step(model)(
+        state.params, feats, labels, valid))
+
+    mesh = make_mesh(MeshConfig(dp=2, mp=4))
+    sh_state = shard_state(state, mesh)
+    dist_step = build_distributed_eval_step(model, mesh)
+    got = jax.device_get(dist_step(sh_state.params, feats, labels, valid))
+
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-5,
+                                   err_msg=k)
