@@ -26,6 +26,16 @@ TIME_BIAS = "time_bias"       # TimelyREC per-row logit bias (N, 1)
 SCORING = "scoring"           # (hidden, table, bias) for the fused NLL kernel
 
 
+def kernel_enabled(cfg: Config) -> bool:
+    """Resolve the use_pallas flag (None = auto). Auto currently selects
+    the XLA path: on the remote-compile setup the fused kernels match XLA
+    throughput at flagship shapes but cost ~10x in compile time (see
+    BASELINE.md); set use_pallas=True to force the fused kernels."""
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    return False
+
+
 class OutputBias(nn.Module):
     """Learned per-item bias with a -1000 pad on item 0
     (reference Base.py:106-113)."""

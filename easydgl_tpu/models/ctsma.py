@@ -47,8 +47,12 @@ class CTSMA(SequentialModel):
 
         intensities = []
         for i in range(cfg.num_blocks):
+            from easydgl_tpu.models.base import kernel_enabled
             attn = MAU(cfg.num_units, cfg.num_heads, cfg.num_events,
-                       cfg.attention_probs_dropout_rate, name=f"block{i}_mau")
+                       cfg.attention_probs_dropout_rate,
+                       intensity_impl=("pallas" if kernel_enabled(cfg)
+                                       else "xla"),
+                       name=f"block{i}_mau")
             ffn = FeedForward((cfg.num_units, cfg.num_units),
                               cfg.hidden_dropout_rate, name=f"block{i}_ffn")
             x, intny = attn(ContribLayerNorm(name=f"block{i}_ln0")(x), x,

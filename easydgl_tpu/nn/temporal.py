@@ -180,6 +180,7 @@ class MAU(nn.Module):
     fused_qkvt: bool = False          # BiMAU/MGAU: single 4C projection
     causal_default: bool = True
     diag_reset: bool = False          # BiMAU: intensity diagonal := 1
+    intensity_impl: str = "xla"       # "xla" | "pallas" (fused head kernel)
 
     def setup(self):
         if self.fused_qkvt:
@@ -193,7 +194,13 @@ class MAU(nn.Module):
         dh = self.num_units // self.num_heads
         # intensity head (reference temporal.py:281-315): shared dense over
         # heads, per-event readout weight + learned log-scaling temperature.
-        self.intensity_dense = Dense(dh * self.num_events, name="intensity_dense")
+        # Dense params declared directly so the fused Pallas head
+        # (kernels/intensity.py) can consume them too.
+        self.intensity_kernel = self.param(
+            "intensity_dense_kernel", glorot(), (dh + 1, dh * self.num_events))
+        self.intensity_bias = self.param(
+            "intensity_dense_bias", nn.initializers.zeros,
+            (dh * self.num_events,))
         self.intensity_weight = self.param(
             "intensity_weight", glorot(), (self.num_events, dh))
         self.intensity_scaling = self.param(
@@ -208,13 +215,25 @@ class MAU(nn.Module):
         The scaled softplus ``s * log(1 + exp(x / s))`` with ``s = exp(p)``
         reproduces temporal.py:299-306.
         """
+        from easydgl_tpu.nn.layers import compute_dtype
         b, h, tq, dh = h_units.shape
         e = self.num_events
         iv = jnp.broadcast_to(intervals[:, None, :, None], (b, h, tq, 1))
         x = jnp.concatenate([h_units, iv.astype(h_units.dtype)], axis=-1)
-        x = jax.nn.sigmoid(self.intensity_dense(x))     # (B,H,Tq,dh*E)
-        x = x.reshape(b, h, tq, e, dh)                  # event-major split
-        raw = mxu_einsum("bhqed,ed->bhqe", x, self.intensity_weight)
+        if self.intensity_impl == "pallas":
+            from easydgl_tpu.kernels.intensity import intensity_raw
+            cdt = compute_dtype()
+            flat = x.reshape(-1, dh + 1)
+            wd = self.intensity_kernel
+            if cdt is not None:
+                flat, wd = flat.astype(cdt), wd.astype(cdt)
+            raw = intensity_raw(flat, wd, self.intensity_bias,
+                                self.intensity_weight).reshape(b, h, tq, e)
+        else:
+            z = mxu_einsum("bhqc,cd->bhqd", x, self.intensity_kernel)
+            sig = jax.nn.sigmoid(z + self.intensity_bias)   # (B,H,Tq,dh*E)
+            sig = sig.reshape(b, h, tq, e, dh)              # event-major
+            raw = mxu_einsum("bhqed,ed->bhqe", sig, self.intensity_weight)
         s = jnp.exp(self.intensity_scaling)             # (E,)
         mark_intensity = s * jax.nn.softplus(raw / s)   # (B,H,Tq,E)
         intensity_qk = mxu_einsum("bhqe,bke->bhqk", mark_intensity, mark_onehot.astype(mark_intensity.dtype))
@@ -278,17 +297,19 @@ class MAU(nn.Module):
         return out, mark_intensity
 
 
-def BiMAU(num_units, num_heads, num_events, dropout_rate=0.0, name=None):
+def BiMAU(num_units, num_heads, num_events, dropout_rate=0.0, name=None,
+          intensity_impl="xla"):
     """Bidirectional MAU (reference temporal.py:396-452): fused QKVT
     projection, no causal mask, intensity diagonal reset to 1."""
     return MAU(num_units, num_heads, num_events, dropout_rate,
                fused_qkvt=True, causal_default=False, diag_reset=True,
-               name=name)
+               intensity_impl=intensity_impl, name=name)
 
 
-def MGAU(num_units, num_heads, num_events, dropout_rate=0.0, name=None):
+def MGAU(num_units, num_heads, num_events, dropout_rate=0.0, name=None,
+         intensity_impl="xla"):
     """Gated variant (reference temporal.py:455-508); defined but unused by
     any reference model — provided for API completeness."""
     return MAU(num_units, num_heads, num_events, dropout_rate,
                fused_qkvt=True, causal_default=False, diag_reset=False,
-               name=name)
+               intensity_impl=intensity_impl, name=name)

@@ -76,15 +76,7 @@ def _label_nll(logits: jnp.ndarray, labels: jnp.ndarray
     return lse - label_logit, label_logit
 
 
-def _kernel_enabled(cfg: Config) -> bool:
-    if cfg.use_pallas is not None:
-        return cfg.use_pallas
-    # Measured on v5e (see BASELINE.md): the fused NLL kernel matches the
-    # XLA logits path at these shapes (the step is MXU-bound, not
-    # HBM-bound) but costs ~10x in compile time through the AOT compiler,
-    # so auto currently resolves to the XLA path. Set use_pallas=True to
-    # force the fused kernel (exact same loss; parity-tested).
-    return False
+from easydgl_tpu.models.base import kernel_enabled as _kernel_enabled
 
 
 def compute_loss(model: SequentialModel, params, features: Dict, labels,

@@ -126,3 +126,67 @@ def test_fused_attention_parity(rng, causal, with_bias, with_mask, with_mod):
     ref = attention_reference(q, k, v, **kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_intensity_kernel_parity(rng):
+    from easydgl_tpu.kernels.intensity import (intensity_raw,
+                                               intensity_raw_reference)
+    n, c, e, dh = 24, 9, 3, 4
+    x = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    wd = jnp.asarray(rng.randn(c, e * dh).astype(np.float32))
+    bd = jnp.asarray(rng.randn(e * dh).astype(np.float32))
+    w = jnp.asarray(rng.randn(e, dh).astype(np.float32))
+
+    out = intensity_raw(x, wd, bd, w, 8)
+    ref = intensity_raw_reference(x, wd, bd, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    coef = jnp.asarray(rng.randn(n, e).astype(np.float32))
+
+    def loss_k(x, wd, bd, w):
+        return jnp.sum(intensity_raw(x, wd, bd, w, 8) * coef)
+
+    def loss_r(x, wd, bd, w):
+        return jnp.sum(intensity_raw_reference(x, wd, bd, w) * coef)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, wd, bd, w)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, wd, bd, w)
+    for a, b, name in zip(gk, gr, ("dx", "dwd", "dbd", "dw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_easydgl_pallas_intensity_path(rng):
+    """EasyDGL loss with use_pallas=True (fused NLL + fused intensity head)
+    must equal the XLA path."""
+    import jax
+    from easydgl_tpu.config import preset
+    from easydgl_tpu.data.loader import BatchLoader
+    from easydgl_tpu.data.synthetic import (synthetic_mark_table,
+                                            synthetic_split)
+    from easydgl_tpu.models.registry import build_model
+    from easydgl_tpu.train.steps import compute_loss
+
+    losses = {}
+    for use_pallas in (False, True):
+        cfg = preset("EasyDGL").replace(
+            num_items=40, seqslen=8, num_units=16, num_heads=2,
+            num_blocks=1, num_events=4, masklen=3, batch_size=8,
+            use_pallas=use_pallas, ct_reg=1e-4,
+            hidden_dropout_rate=0.0, attention_probs_dropout_rate=0.0)
+        model = build_model(cfg)
+        ds = synthetic_split(num_rows=8, num_items=40, seqslen=8, seed=1)
+        table = synthetic_mark_table(40, 4, seed=1)
+        ld = BatchLoader(ds, data_mode="mau", batch_size=8, masklen=3,
+                         is_training=True, mark_table=table,
+                         needs_marks=True)
+        features, labels, _ = next(ld.epoch(0))
+        feats = {k: jnp.asarray(v) for k, v in features.items()}
+        params = model.init({"params": jax.random.key(0),
+                             "dropout": jax.random.key(1)},
+                            feats, is_training=True)
+        losses[use_pallas] = float(compute_loss(
+            model, params, feats, jnp.asarray(labels),
+            {"dropout": jax.random.key(2)}))
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)

@@ -152,7 +152,7 @@ def test_mau_intensity_math(rng):
     qk, mi = mau.apply(params, hu, iv, marks, method=mau.intensity)
 
     p = jax.tree.map(np.asarray, params["params"])
-    wd = p["intensity_dense"]["kernel"]; bd = p["intensity_dense"]["bias"]
+    wd = p["intensity_dense_kernel"]; bd = p["intensity_dense_bias"]
     wt = p["intensity_weight"]; sc = np.exp(p["intensity_scaling"])
     xin = np.concatenate([np.asarray(hu),
                           np.broadcast_to(np.asarray(iv)[:, None, :, None],

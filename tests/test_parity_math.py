@@ -112,7 +112,7 @@ def test_bimau_full_forward(rng):
     # intensity (temporal.py:281-315)
     iv = np.broadcast_to(spans[:, None, :, None], (b, h, t, 1))
     xin = np.concatenate([seq_units, iv], -1)
-    wd, bd = p["intensity_dense"]["kernel"], p["intensity_dense"]["bias"]
+    wd, bd = p["intensity_dense_kernel"], p["intensity_dense_bias"]
     sg = _sig(xin @ wd + bd).reshape(b, h, t, e, dh)
     raw = np.einsum("bhqed,ed->bhqe", sg, p["intensity_weight"])
     s = np.exp(p["intensity_scaling"])
