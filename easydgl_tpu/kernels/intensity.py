@@ -29,15 +29,25 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _block_sum_matrix(num_events: int, dh: int) -> jnp.ndarray:
+    """(E*dh, E) 0/1 selector: column block e sums to output e. Computed
+    from iota inside the kernel (Mosaic-safe; no 3D reshapes)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (num_events * dh, num_events),
+                                    0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (num_events * dh, num_events),
+                                    1)
+    return (rows // dh == cols).astype(jnp.float32)
+
+
 def _fwd_kernel(x_ref, wd_ref, bd_ref, w_ref, out_ref, *,
                 num_events: int, dh: int):
     x = x_ref[:]                                    # (bn, C)
     z = jax.lax.dot(x, wd_ref[:],
                     preferred_element_type=jnp.float32)   # (bn, E*dh)
     s = jax.nn.sigmoid(z + bd_ref[:][None, :])
-    bn = s.shape[0]
     sw = s * w_ref[:][None, :]                      # w flattened (E*dh,)
-    out_ref[:] = jnp.sum(sw.reshape(bn, num_events, dh), axis=-1)
+    sel = _block_sum_matrix(num_events, dh)
+    out_ref[:] = jax.lax.dot(sw, sel, preferred_element_type=jnp.float32)
 
 
 def _bwd_kernel(x_ref, wd_ref, bd_ref, w_ref, g_ref,
@@ -55,11 +65,13 @@ def _bwd_kernel(x_ref, wd_ref, bd_ref, w_ref, g_ref,
     x = x_ref[:]
     z = jax.lax.dot(x, wd_ref[:], preferred_element_type=jnp.float32)
     s = jax.nn.sigmoid(z + bd_ref[:][None, :])      # (bn, E*dh)
-    bn = s.shape[0]
     g = g_ref[:]                                    # (bn, E) upstream grad
-    # d lam_raw / d s = w ; broadcast g over dh (e-major flattened layout)
-    g_full = jnp.broadcast_to(
-        g[:, :, None], (bn, num_events, dh)).reshape(bn, num_events * dh)
+    # d lam_raw / d s = w ; broadcast g over dh via the 0/1 selector
+    # (e-major flattened layout; avoids Mosaic-unsupported 3D reshapes)
+    sel = _block_sum_matrix(num_events, dh)         # (E*dh, E)
+    g_full = jax.lax.dot_general(
+        g, sel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (bn, E*dh)
     ds = g_full * w_ref[:][None, :]
     dz = ds * s * (1.0 - s)
     dx_ref[:] = jax.lax.dot_general(
