@@ -91,7 +91,7 @@ def _bwd_kernel(x_ref, wd_ref, bd_ref, w_ref, g_ref,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def intensity_raw(x, wd, bd, w, block_n=512):
+def intensity_raw(x, wd, bd, w, block_n=256):
     """x: (N, C); wd: (C, E*dh); bd: (E*dh,); w: (E, dh) readout.
     Returns (N, E) pre-softplus weighted sums."""
     out, _ = _int_fwd(x, wd, bd, w, block_n)
@@ -130,6 +130,9 @@ def _int_bwd(block_n, res, g):
     x, wd, bd, w = res
     e, dh = w.shape
     c = x.shape[1]
+    # backward keeps z/s/g_full/ds/dz tiles + weight accumulators live in
+    # VMEM simultaneously -> smaller row tiles than forward
+    block_n = min(block_n, 128)
     xp, n = _pad_rows(x, block_n)
     gp, _ = _pad_rows(g, block_n)
     np_ = xp.shape[0]
