@@ -41,14 +41,19 @@ def make_loaders(cfg: Config, model: SequentialModel,
             BatchLoader(test, is_training=False, **kw))
 
 
-def device_prefetch(iterator, size: int = 2):
+def device_prefetch(iterator, size: int = 2, shardings=None):
     """Keep ``size`` batches in flight on-device (async device_put) so host
     batch assembly and H2D transfer overlap device compute — the pipeline
-    role of the reference's tf.data prefetch (dataloader.py:245)."""
+    role of the reference's tf.data prefetch (dataloader.py:245).
+    ``shardings``: optional fn(pytree) -> sharding pytree for SPMD meshes."""
     import collections
     buf = collections.deque()
 
     def put(item):
+        if shardings is not None:
+            sh = shardings(item)
+            return jax.tree.map(
+                lambda x, s: jax.device_put(jnp.asarray(x), s), item, sh)
         return jax.tree.map(
             lambda x: jax.device_put(jnp.asarray(x)), item)
 
@@ -60,9 +65,11 @@ def device_prefetch(iterator, size: int = 2):
         yield buf.popleft()
 
 
-def evaluate(eval_step, params, loader: BatchLoader) -> Dict[str, float]:
+def evaluate(eval_step, params, loader: BatchLoader,
+             shardings=None) -> Dict[str, float]:
     acc = MetricAccumulator()
-    for features, labels, valid in device_prefetch(loader.epoch()):
+    for features, labels, valid in device_prefetch(loader.epoch(),
+                                                   shardings=shardings):
         acc.update(eval_step(params, features, labels, valid))
     return acc.result()
 
@@ -72,8 +79,12 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
                 mark_table: Optional[np.ndarray] = None,
                 ckpt_dir: Optional[str] = None,
                 num_epochs: Optional[int] = None,
-                resume: bool = False
+                resume: bool = False,
+                mesh=None
                 ) -> Tuple[TrainState, Dict[str, float]]:
+    """Train with early stopping. With ``mesh`` (jax.sharding.Mesh over
+    (data, model) axes), the SPMD path is used: DP batches, row-sharded
+    item table, distributed full-catalog eval."""
     model = build_model(cfg)
     tr_loader, vl_loader, te_loader = make_loaders(
         cfg, model, train_ds, valid_ds, test_ds, mark_table)
@@ -82,8 +93,24 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
     features, labels, _ = next(tr_loader.epoch(0))
     sample = {k: jnp.asarray(v) for k, v in features.items()}
     state = init_state(model, sample, cfg.seed)
-    train_step = build_train_step(model)
-    eval_step = build_eval_step(model)
+    batch_sh = None
+    if mesh is not None:
+        from easydgl_tpu.eval.evaluator import build_distributed_eval_step
+        from easydgl_tpu.train.sharded import (batch_shardings,
+                                               build_sharded_train_step,
+                                               shard_state)
+        state = shard_state(state, mesh)
+        train_step = build_sharded_train_step(model, mesh, None)
+        mp = mesh.shape[mesh.axis_names[1]]
+        if mp > 1 and model.vocab_size % mp == 0:
+            eval_step = build_distributed_eval_step(model, mesh)
+        else:
+            from easydgl_tpu.train.sharded import build_sharded_eval_step
+            eval_step = build_sharded_eval_step(model, mesh)
+        batch_sh = lambda item: batch_shardings(item, mesh)
+    else:
+        train_step = build_train_step(model)
+        eval_step = build_eval_step(model)
     rng = jax.random.key(cfg.seed)
 
     ckpt = Checkpointer(ckpt_dir) if ckpt_dir else None
@@ -103,7 +130,8 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
-        for features, labels, _ in device_prefetch(tr_loader.epoch(epoch)):
+        for features, labels, _ in device_prefetch(tr_loader.epoch(epoch),
+                                                   shardings=batch_sh):
             state, loss = train_step(state, features, labels, rng)
             losses.append(loss)
         state_ref[0] = state
@@ -113,8 +141,8 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
 
         if epoch % cfg.eval_per_steps:
             continue
-        vl = evaluate(eval_step, state.params, vl_loader)
-        te = evaluate(eval_step, state.params, te_loader)
+        vl = evaluate(eval_step, state.params, vl_loader, batch_sh)
+        te = evaluate(eval_step, state.params, te_loader, batch_sh)
         log.info("%03d: valid %s", epoch,
                  {k: f"{v:.5f}" for k, v in vl.items()})
         if stopper.step(mean_loss, vl.get("H100", 0.0), vl, te):

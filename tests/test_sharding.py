@@ -174,3 +174,25 @@ def test_distributed_eval_matches_single(rng):
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-5,
                                    err_msg=k)
+
+
+def test_train_model_with_mesh(rng, tmp_path):
+    """Full train_model loop on a (2 data x 4 model) mesh end-to-end:
+    sharded steps + distributed eval must produce sane metrics."""
+    from easydgl_tpu.data.synthetic import (synthetic_mark_table,
+                                            synthetic_split)
+    from easydgl_tpu.train.loop import train_model
+
+    cfg = preset("EasyDGL").replace(
+        num_items=63, seqslen=8, num_units=16, num_heads=2, num_blocks=1,
+        num_events=4, masklen=3, batch_size=16, mask_seen=True, patience=50)
+    mk = dict(num_items=cfg.num_items, seqslen=cfg.seqslen)
+    tr = synthetic_split(num_rows=64, seed=1, **mk)
+    vl = synthetic_split(num_rows=16, seed=2, **mk)
+    te = synthetic_split(num_rows=16, seed=3, **mk)
+    table = synthetic_mark_table(cfg.num_items, 4, seed=4)
+    mesh = make_mesh(MeshConfig(dp=2, mp=4))
+    state, res = train_model(cfg, tr, vl, te, mark_table=table,
+                             num_epochs=2, mesh=mesh)
+    assert res and 0.0 <= res["H100"] <= 1.0
+    assert int(state.step) == 2 * (64 // 16)
