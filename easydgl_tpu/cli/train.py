@@ -29,6 +29,10 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --ckpt_dir")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = single device)")
+    p.add_argument("--mp", type=int, default=1,
+                   help="model-parallel (table row-shard) mesh size")
     p.add_argument("--num_items", type=int)
     p.add_argument("--seqslen", type=int)
     p.add_argument("--num_units", type=int)
@@ -111,9 +115,17 @@ def main(argv=None):
     (train, valid, test), mark, cfg = load_data(args, cfg)
     logging.info("config: %s", cfg)
 
+    mesh = None
+    if args.dp or args.mp > 1:
+        from easydgl_tpu.config import MeshConfig
+        from easydgl_tpu.core.mesh import make_mesh
+        mesh = make_mesh(MeshConfig(dp=args.dp or -1, mp=args.mp))
+        logging.info("mesh: %s", dict(mesh.shape))
+
     from easydgl_tpu.train.loop import train_model
     state, summary = train_model(cfg, train, valid, test, mark_table=mark,
-                                 ckpt_dir=args.ckpt_dir, resume=args.resume)
+                                 ckpt_dir=args.ckpt_dir, resume=args.resume,
+                                 mesh=mesh)
     return summary
 
 

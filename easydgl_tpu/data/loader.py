@@ -135,7 +135,11 @@ class BatchLoader:
             else:
                 arrays = {k: v[rows] for k, v in self.data.arrays.items()}
             if (self.native and self.is_training and
-                    self.data_mode in ("masked", "mau", "grec")):
+                    self.data_mode in ("masked", "mau", "grec") and
+                    # native sampler's partial-Fisher-Yates buffer is 512
+                    # slots (native/batcher.cpp); longer sequences fall
+                    # back to the NumPy protocol
+                    self.data.arrays["seqs_i"].shape[1] <= 512):
                 features, labels = self._native_protocol(arrays, epoch, i)
             else:
                 features, labels = self.protocol(arrays, self.is_training,
