@@ -267,3 +267,61 @@ def test_multi_step_matches_sequential():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_evaluate_exact_over_padded_tail():
+    """evaluate() must weight metrics by exact row counts across a padded
+    final batch (reference streams tf.metrics.mean; we must match the exact
+    per-example mean)."""
+    from easydgl_tpu.data.loader import BatchLoader
+    from easydgl_tpu.eval.metrics import metric_sums
+    cfg = _cfg("SASREC", batch_size=16)
+    model = build_model(cfg)
+    # 22 rows -> one full batch + one 6-valid padded batch
+    ds = synthetic_split(num_rows=22, num_items=V, seqslen=L, seed=9)
+    ld = BatchLoader(ds, data_mode="regressive", batch_size=16,
+                     is_training=False)
+    f0, _, _ = next(ld.epoch())
+    feats0 = {k: jnp.asarray(v) for k, v in f0.items()}
+    params = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)},
+                        feats0, is_training=False)
+    es = build_eval_step(model)
+    res = evaluate(es, params, ld)
+
+    # manual per-row computation over ALL 22 rows at once
+    proto_feats = {"seqs_i": ds.arrays["seqs_i"][:, :-1],
+                   "seqs_t": ds.arrays["seqs_t"]}
+    feats = {k: jnp.asarray(v) for k, v in proto_feats.items()}
+    logits, _ = model.apply(params, feats, is_training=False)
+    if cfg.mask_seen:
+        from easydgl_tpu.eval.metrics import mask_seen_logits
+        logits = mask_seen_logits(logits, feats["seqs_i"])
+    sums = jax.device_get(metric_sums(
+        logits, jnp.asarray(ds.arrays["seqs_i"][:, -1]),
+        jnp.ones((22,), bool)))
+    for k in res:
+        np.testing.assert_allclose(res[k], float(sums[k]) / 22.0,
+                                   rtol=1e-6, err_msg=k)
+
+
+def test_recommender_easydgl_marks():
+    """Serving path for the flagship TPP model (marks plumbed through)."""
+    from easydgl_tpu.eval.recommender import Recommender
+    cfg = _cfg("EasyDGL", mask_seen=True)
+    model = build_model(cfg)
+    ds = synthetic_split(num_rows=4, num_items=V, seqslen=L, seed=2)
+    table = synthetic_mark_table(V, 4, seed=3)
+    from easydgl_tpu.data.masking import make_protocol
+    proto = make_protocol("mau", masklen=3, mask_id=V)
+    features, _ = proto(dict(ds.arrays), False, None)
+    ids = features["seqs_i"]
+    safe = np.where(ids >= table.shape[0], 0, ids)
+    features["seqs_marks"] = table[safe].astype(np.float32)
+    feats = {k: jnp.asarray(v) for k, v in features.items()}
+    params = model.init({"params": jax.random.key(0)}, feats,
+                        is_training=False)
+    rec = Recommender(cfg, params, mark_table=table)
+    ids_out, scores = rec.recommend(dict(ds.arrays), k=7)
+    assert ids_out.shape == (4, 7)
+    assert (ids_out != 0).all()
