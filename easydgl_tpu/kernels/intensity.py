@@ -46,8 +46,13 @@ def _fwd_kernel(x_ref, wd_ref, bd_ref, w_ref, out_ref, *,
                     preferred_element_type=jnp.float32)   # (bn, E*dh)
     s = jax.nn.sigmoid(z + bd_ref[:][None, :])
     sw = s * w_ref[:][None, :]                      # w flattened (E*dh,)
-    sel = _block_sum_matrix(num_events, dh)
-    out_ref[:] = jax.lax.dot(sw, sel, preferred_element_type=jnp.float32)
+    # In mixed-precision mode (bf16 inputs) the selector reduce also runs
+    # with bf16 operands — the fast MXU path, with fp32 accumulation. In
+    # fp32 mode everything stays exact.
+    red = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    sel = _block_sum_matrix(num_events, dh).astype(red)
+    out_ref[:] = jax.lax.dot(sw.astype(red), sel,
+                             preferred_element_type=jnp.float32)
 
 
 def _bwd_kernel(x_ref, wd_ref, bd_ref, w_ref, g_ref,
@@ -67,10 +72,12 @@ def _bwd_kernel(x_ref, wd_ref, bd_ref, w_ref, g_ref,
     s = jax.nn.sigmoid(z + bd_ref[:][None, :])      # (bn, E*dh)
     g = g_ref[:]                                    # (bn, E) upstream grad
     # d lam_raw / d s = w ; broadcast g over dh via the 0/1 selector
-    # (e-major flattened layout; avoids Mosaic-unsupported 3D reshapes)
-    sel = _block_sum_matrix(num_events, dh)         # (E*dh, E)
+    # (e-major flattened layout; avoids Mosaic-unsupported 3D reshapes);
+    # bf16 fast path only in mixed-precision mode (see forward kernel)
+    red = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    sel = _block_sum_matrix(num_events, dh).astype(red)
     g_full = jax.lax.dot_general(
-        g, sel, (((1,), (1,)), ((), ())),
+        g.astype(red), sel, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)         # (bn, E*dh)
     ds = g_full * w_ref[:][None, :]
     dz = ds * s * (1.0 - s)
