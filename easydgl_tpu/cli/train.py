@@ -121,6 +121,14 @@ def main(argv=None):
         from easydgl_tpu.core.mesh import make_mesh
         mesh = make_mesh(MeshConfig(dp=args.dp or -1, mp=args.mp))
         logging.info("mesh: %s", dict(mesh.shape))
+    elif cfg.use_pallas is None:
+        # single-device on an accelerator: enable the fused Pallas kernels
+        # (1.83x on v5e; see BASELINE.md). Sharded runs stay on the XLA
+        # path until pallas_call partitioning lands.
+        import jax
+        if jax.default_backend() != "cpu":
+            cfg = cfg.replace(use_pallas=True)
+            logging.info("fused Pallas kernels enabled (single device)")
 
     from easydgl_tpu.train.loop import train_model
     state, summary = train_model(cfg, train, valid, test, mark_table=mark,
