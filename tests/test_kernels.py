@@ -190,3 +190,21 @@ def test_easydgl_pallas_intensity_path(rng):
             model, params, feats, jnp.asarray(labels),
             {"dropout": jax.random.key(2)}))
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+
+
+def test_intensity_kernel_bf16_mode(rng):
+    """Mixed-precision inputs take the bf16 selector fast path; result must
+    stay within bf16-level tolerance of the fp32 reference."""
+    from easydgl_tpu.kernels.intensity import (intensity_raw,
+                                               intensity_raw_reference)
+    n, c, e, dh = 16, 9, 3, 4
+    x32 = rng.randn(n, c).astype(np.float32)
+    wd32 = rng.randn(c, e * dh).astype(np.float32) * 0.1
+    bd = jnp.asarray(rng.randn(e * dh).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(e, dh).astype(np.float32))
+    out = intensity_raw(jnp.asarray(x32, jnp.bfloat16),
+                        jnp.asarray(wd32, jnp.bfloat16), bd, w, 8)
+    ref = intensity_raw_reference(jnp.asarray(x32), jnp.asarray(wd32),
+                                  bd, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
