@@ -96,6 +96,50 @@ def prepare(fin: str, fout: str, *, seqslen: int = 30,
     return num_items
 
 
+def prepare_raw(fin_csv: str, fout: str, *, seqslen: int = 30,
+                min_uc: int = 5, min_sc: int = 100,
+                n_heldout_users: int = 20000, seed: int = 9876,
+                with_datetime: bool = True):
+    """Full pipeline from a raw (uid, sid, time) triplet CSV: filter by
+    min counts, hold out validation/test USERS, renumber ids densely
+    (items from 1; 0 = padding), and write packed splits.
+
+    Mirrors the reference's full flow (data/linkpred.py:216-246, the
+    authors' preprocessing that produced the prepared CSVs): user-level
+    holdout split, items restricted to those seen in training.
+    """
+    import pandas as pd
+    df = pd.read_csv(fin_csv, usecols=["uid", "sid", "time"])
+    df = filter_triplets(df, min_uc=min_uc, min_sc=min_sc)
+
+    rng = np.random.default_rng(seed)
+    users = df["uid"].value_counts().index.to_numpy()
+    users = users[rng.permutation(users.size)]
+    n = users.size
+    tr_users = set(users[:n - 2 * n_heldout_users])
+    vd_users = set(users[n - 2 * n_heldout_users:n - n_heldout_users])
+    te_users = set(users[n - n_heldout_users:])
+
+    train = df[df["uid"].isin(tr_users)]
+    item_ids = pd.unique(train["sid"])
+    show2id = {s: i + 1 for i, s in enumerate(item_ids)}  # 0 = padding
+    num_items = len(show2id) + 1
+
+    def numerize(part):
+        part = part[part["sid"].isin(show2id)].copy()
+        part["sid"] = part["sid"].map(show2id)
+        return part.sort_values(["uid", "time"], kind="stable")
+
+    os.makedirs(fout, exist_ok=True)
+    for name, part_users in (("train", tr_users), ("validation", vd_users),
+                             ("test", te_users)):
+        part = numerize(df[df["uid"].isin(part_users)])
+        ds = pack_split(part, seqslen=seqslen, num_items=num_items,
+                        with_datetime=with_datetime)
+        ds.save(os.path.join(fout, f"{name}.npz"))
+    return num_items
+
+
 def mark_table_from_csv(path: str, num_items: int) -> np.ndarray:
     """Build the [num_items, E] multi-hot mark table from (sid, event) CSV
     pairs — the dense replacement for the reference's pickled scipy CSR."""

@@ -154,3 +154,33 @@ def test_native_loader_contract():
         # different epochs differ
         f3, _, _ = next(ld.epoch(1))
         assert (f3["seqs_i"] != f["seqs_i"]).any()
+
+
+def test_etl_raw_pipeline(tmp_path):
+    """Raw triplets -> filter -> user holdout -> packed splits."""
+    import pandas as pd
+    from easydgl_tpu.data.etl import prepare_raw
+    rng = np.random.default_rng(0)
+    rows = []
+    for uid in range(40):
+        n = rng.integers(6, 15)
+        t0 = 1e9 + uid
+        for j in range(n):
+            rows.append((uid, int(rng.integers(0, 12)), t0 + j * 3600))
+    df = pd.DataFrame(rows, columns=["uid", "sid", "time"])
+    fin = tmp_path / "raw.csv"
+    df.to_csv(fin, index=False)
+    num_items = prepare_raw(str(fin), str(tmp_path / "out"), seqslen=8,
+                            min_uc=3, min_sc=5, n_heldout_users=8)
+    out = tmp_path / "out"
+    for name in ("train", "validation", "test"):
+        ds = PackedDataset.load(str(out / f"{name}.npz"))
+        assert ds.num_items == num_items
+        assert ds.arrays["seqs_i"].shape[1] == 9
+        assert ds.arrays["seqs_i"].max() < num_items
+        assert (ds.arrays["seqs_i"] >= 0).all()
+    tr = PackedDataset.load(str(out / "train.npz"))
+    vl = PackedDataset.load(str(out / "validation.npz"))
+    te = PackedDataset.load(str(out / "test.npz"))
+    assert vl.num_rows <= 8 and te.num_rows <= 8
+    assert tr.num_rows >= 40 - 16 - 10  # most users survive filtering
