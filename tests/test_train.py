@@ -325,3 +325,16 @@ def test_recommender_easydgl_marks():
     ids_out, scores = rec.recommend(dict(ds.arrays), k=7)
     assert ids_out.shape == (4, 7)
     assert (ids_out != 0).all()
+
+
+def test_golden_gru4rec_metrics():
+    """Golden-metric regression fixture: this exact config/seed produced
+    these metrics at round 1 (behavioral drift detector — update the
+    fixture only for INTENTIONAL numerics changes)."""
+    cfg = _cfg("GRU4REC", num_heads=1)
+    tr, vl, te = _splits()
+    _, res = train_model(cfg, tr, vl, te, num_epochs=4)
+    golden = {"H10": 0.25, "H100": 1.0, "H50": 1.0,
+              "N10": 0.124913, "N100": 0.292502, "N50": 0.292502}
+    for k, v in golden.items():
+        np.testing.assert_allclose(res[k], v, rtol=1e-4, err_msg=k)
