@@ -16,7 +16,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from easydgl_tpu.dist.embedding import sharded_tied_logits
 from easydgl_tpu.dist.topk import distributed_mask_seen, distributed_top_k

@@ -15,7 +15,7 @@ is identical and the extra exp/normalize is skipped.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -25,13 +25,9 @@ anyway); eval/serving and dropout-0 configs take the fused path.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(2.0 ** 32) + 1.0
 

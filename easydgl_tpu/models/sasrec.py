@@ -11,7 +11,6 @@ Parity with reference src/model/SASREC.py:
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from easydgl_tpu.models.base import (SCORING, OutputBias,

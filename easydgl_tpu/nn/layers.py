@@ -18,8 +18,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
-from functools import partial
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,9 +8,8 @@ here since the GRU weights are a plain pytree.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from easydgl_tpu.train.steps import TrainState

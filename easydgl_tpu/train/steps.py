@@ -24,7 +24,6 @@ TPP: CTSMA/EasyDGL add their biased-likelihood regularizer
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
