@@ -338,3 +338,23 @@ def test_golden_gru4rec_metrics():
               "N10": 0.124913, "N100": 0.292502, "N50": 0.292502}
     for k, v in golden.items():
         np.testing.assert_allclose(res[k], v, rtol=1e-4, err_msg=k)
+
+
+def test_adamw_warmup_optimizer():
+    """The reference's BERT optimizer path (optimization.py:27-84): linear
+    warmup schedule + decoupled weight decay masking LN/bias params."""
+    import dataclasses
+    import optax
+    from easydgl_tpu.train.optim import build_optimizer
+    cfg = _cfg("SASREC")
+    ocfg = dataclasses.replace(cfg.optim, name="adamw_warmup",
+                               num_train_steps=100, num_warmup_steps=10)
+    tx = build_optimizer(ocfg)
+    params = {"dense": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones((3,))},
+              "ln": {"beta": jnp.ones((3,)), "gamma": jnp.ones((3,))}}
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    for leaf in jax.tree.leaves(new):
+        assert np.isfinite(np.asarray(leaf)).all()
