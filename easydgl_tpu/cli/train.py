@@ -51,6 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--attention_probs_dropout_rate", type=float)
     p.add_argument("--mask_seen", action="store_true", default=None)
     p.add_argument("--seed", type=int)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu); the JAX_PLATFORMS "
+                        "env var is unreliable under preconfigured backends")
     return p.parse_args(argv)
 
 
@@ -103,14 +106,16 @@ def main(argv=None):
         format="%(asctime)s %(levelname)s %(message)s",
         handlers=[logging.StreamHandler(),
                   logging.FileHandler("model.log")])
+    args = parse_args(argv)
     try:  # persistent compile cache: repeated runs skip XLA compilation
         import jax
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    args = parse_args(argv)
     cfg = build_config(args)
     (train, valid, test), mark, cfg = load_data(args, cfg)
     logging.info("config: %s", cfg)

@@ -88,6 +88,9 @@ class Config:
 
     # --- evaluation (src/model/Base.py:150-207)
     mask_seen: bool = False
+    # NOTE: despite the name, this is an EPOCH period — faithful to the
+    # reference flag of the same name (src/main.py:72) which gates eval with
+    # ``if epoch % FLAGS.eval_per_steps: continue`` (src/main.py:126).
     eval_per_steps: int = 1
     patience: int = 10                # EarlyStopping (src/util.py:16)
     topk: Tuple[int, ...] = (10, 50, 100)

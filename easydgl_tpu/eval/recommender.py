@@ -70,37 +70,27 @@ class Recommender:
                         sample_arrays: Dict[str, np.ndarray],
                         mark_table: Optional[np.ndarray] = None
                         ) -> "Recommender":
+        """Single template build + restore; the template matches the
+        TRAINING state layout (checkpoints store params + opt state)."""
         from easydgl_tpu.train.checkpoint import Checkpointer
-        from easydgl_tpu.train.steps import init_state
         rec = cls(cfg, None, mark_table)
-        features, _ = rec.protocol(sample_arrays, False, None)
-        if rec.model.uses_tpp and mark_table is not None:
-            ids = features["seqs_i"]
-            safe = np.where(ids >= mark_table.shape[0], 0, ids)
-            features["seqs_marks"] = mark_table[safe].astype(np.float32)
-        feats = {kk: jnp.asarray(v) for kk, v in features.items()}
-        # eval-feature init works for every model (train extras optional)
-        params = rec.model.init({"params": jax.random.key(0)},
-                                feats, is_training=False)
-        template = init_state(rec.model, feats, 0)._replace(params=params)
-        # restore params only (opt state irrelevant for serving)
-        state = Checkpointer(ckpt_dir).restore(
-            init_state_for_restore(rec.model, sample_arrays, rec, cfg))
+        template = init_state_for_restore(rec.model, sample_arrays,
+                                          rec.mark_table, cfg)
+        state = Checkpointer(ckpt_dir).restore(template)
         rec.params = state.params
         return rec
 
 
-def init_state_for_restore(model: SequentialModel, sample_arrays, rec,
-                           cfg: Config):
+def init_state_for_restore(model: SequentialModel, sample_arrays,
+                           mark_table, cfg: Config):
     """Build a restore template matching the TRAINING state layout."""
-    import numpy as np
     from easydgl_tpu.data.loader import PackedDataset, BatchLoader
     from easydgl_tpu.train.steps import init_state
     ds = PackedDataset({k: np.asarray(v) for k, v in sample_arrays.items()},
                        cfg.num_items)
     loader = BatchLoader(ds, data_mode=model.data_mode,
                          batch_size=ds.num_rows, masklen=cfg.masklen,
-                         is_training=True, mark_table=rec.mark_table,
+                         is_training=True, mark_table=mark_table,
                          needs_marks=model.uses_tpp)
     features, _, _ = next(loader.epoch(0))
     feats = {k: jnp.asarray(v) for k, v in features.items()}

@@ -149,9 +149,9 @@ def build_multi_step(model: SequentialModel, donate: bool = True):
     """
     tx = build_optimizer(model.cfg.optim)
 
-    def one(state: TrainState, batch):
+    def one(state: TrainState, batch, rng):
         features, labels = batch
-        dropout_rng = jax.random.fold_in(jax.random.key(0), state.step)
+        dropout_rng = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(
             lambda p: compute_loss(model, p, features, labels,
                                    {"dropout": dropout_rng}))(state.params)
@@ -160,8 +160,10 @@ def build_multi_step(model: SequentialModel, donate: bool = True):
         return TrainState(params, opt_state, state.step + 1), loss
 
     def multi(state: TrainState, features, labels, rng):
-        del rng  # per-step rng derives from the global step counter
-        return jax.lax.scan(one, state, (features, labels))
+        # per-step dropout = fold_in(rng, global step): seed-dependent AND
+        # step-unique, matching the single-step path (build_train_step)
+        return jax.lax.scan(lambda s, b: one(s, b, rng), state,
+                            (features, labels))
 
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 

@@ -59,25 +59,77 @@ def test_forward_shapes(name):
     assert np.isfinite(np.asarray(logits)).all()
 
 
-def test_padding_invariance_sasrec():
-    """Padded positions must not influence last-position predictions."""
-    cfg = tiny_cfg("SASREC").replace(hidden_dropout_rate=0.0,
-                                     attention_probs_dropout_rate=0.0)
+@pytest.mark.parametrize("name", ["TGAT"])
+def test_pad_timestamp_invariance(name):
+    """Garbage timestamps at PADDED positions must not change eval logits.
+
+    Padded positions only reach the temporal attention through time codes on
+    masked key columns — exactly the leak a broken key mask hides. TGAT only:
+    in TiSASREC the reference ITSELF leaks pad timestamps into the output
+    (fully-masked causal rows softmax to uniform and pick up v_int garbage;
+    the post-softmax query mask doesn't fire because queries are layernormed,
+    temporal.py:84-88 + TiSASREC.py:71), and this repo reproduces that
+    faithfully — so no such invariance exists there to test.
+    """
+    cfg = tiny_cfg(name).replace(hidden_dropout_rate=0.0,
+                                 attention_probs_dropout_rate=0.0)
     model = build_model(cfg)
     ids = np.zeros((2, L), np.int32)
     ids[0, -3:] = [5, 7, 9]
-    ids[1, -3:] = [5, 7, 9]
-    feats = {"seqs_i": jnp.asarray(ids)}
+    ids[1, -5:] = [2, 4, 6, 8, 10]
+    t = np.zeros((2, L + 1), np.float32)   # loader layout: L+1 timestamps
+    t[0, -4:] = [1e5, 2e5, 3e5, 4e5]
+    t[1, -6:] = [1e5, 1.5e5, 2e5, 2.5e5, 3e5, 3.5e5]
+    feats = {"seqs_i": jnp.asarray(ids), "seqs_t": jnp.asarray(t)}
     params = model.init({"params": jax.random.key(0),
                          "dropout": jax.random.key(1)},
                         feats, is_training=False)
     base, _ = model.apply(params, feats, is_training=False)
-    ids2 = ids.copy()
-    # same suffix, different padding content should be irrelevant: padding is
-    # id 0 either way, but shift history start
-    feats2 = {"seqs_i": jnp.asarray(ids2)}
+
+    # ts[0] feeds ONLY key column 0 of the interval codes (later pad
+    # timestamps also reach valid rows through query-side codes + the
+    # joint-(T,C) LN moments, faithful to the reference, so they are not
+    # invariant); ids[:, 0] == 0 -> key column 0 is masked -> garbage there
+    # must be invisible.
+    t2 = t.copy()
+    t2[:, 0] = [7.7e5, 9.9e5]
+    feats2 = {"seqs_i": jnp.asarray(ids), "seqs_t": jnp.asarray(t2)}
     out2, _ = model.apply(params, feats2, is_training=False)
-    np.testing.assert_allclose(np.asarray(base), np.asarray(out2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out2),
+                               rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["SASREC", "BERT4REC", "EasyDGL"])
+def test_cross_batch_independence(name):
+    """Row A's eval logits must not depend on which other rows share the
+    batch (catches reshape bugs that mix the batch axis and any accidental
+    cross-example normalization)."""
+    cfg = tiny_cfg(name).replace(hidden_dropout_rate=0.0,
+                                 attention_probs_dropout_rate=0.0)
+    model = build_model(cfg)
+    _, ev1 = loaders_for(model, cfg)
+    ds2 = synthetic_split(num_rows=3 * B, num_items=V, seqslen=L, seed=99,
+                          with_datetime=True)
+    table = synthetic_mark_table(V, E, seed=1) if model.uses_tpp else None
+    ev2 = BatchLoader(ds2, is_training=False, data_mode=model.data_mode,
+                      batch_size=B, masklen=cfg.masklen, mark_table=table,
+                      needs_marks=model.uses_tpp)
+
+    f1, _, _ = next(ev1.epoch(0))
+    f2, _, _ = next(ev2.epoch(0))
+    # splice row 0 of batch-1 into batch-2 (all other rows differ)
+    spliced = {k: np.concatenate([v1[:1], f2[k][1:]], axis=0)
+               for k, v1 in ((k, np.asarray(v)) for k, v in f1.items())}
+    feats1 = {k: jnp.asarray(v) for k, v in f1.items()}
+    params = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)},
+                        feats1, is_training=True)
+    base, _ = model.apply(params, feats1, is_training=False)
+    out, _ = model.apply(
+        params, {k: jnp.asarray(v) for k, v in spliced.items()},
+        is_training=False)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(base[0]),
+                               rtol=2e-5, atol=1e-5)
 
 
 def test_easydgl_diag_reset():
