@@ -1,0 +1,517 @@
+"""Fully-fused MAU/BiMAU self-modulating attention (Pallas TPU, fwd + bwd).
+
+One kernel covers the whole hot chain of reference temporal.py:267-452 after
+the Q/K/V/T projections (which stay in XLA — single large MXU matmuls):
+
+    logits = QK^T / sqrt(dh) -> key/causal mask -> softmax            (:352-371)
+    seq_units = probs @ T                                             (:375)
+    x = [seq_units | interval]; z = x @ Wd; sig = sigmoid(z + bd)     (:281-299)
+    raw[e] = sum_d sig[e*dh+d] * w[e,d]; lam = s*softplus(raw/s)      (:299-306)
+    intensity_qk = lam @ onehot^T  (+ diagonal := 1 for BiMAU)        (:311-313, 438-439)
+    modulated = dropout(intensity_qk * probs)                         (:379-380)
+    out = modulated @ V                                               (:381)
+
+Every intermediate — including the (rows, E*dh) sigmoid activation that
+dominates HBM traffic in the XLA path (2.1 GB fp32 at the flagship config) —
+lives only in VMEM. The custom_vjp backward recomputes the forward tile and
+emits dq/dk/dv/dt per tile plus weight grads accumulated across the
+sequential grid. Dropout uses the TPU PRNG with a per-program seed, so the
+backward regenerates the identical mask without materializing it.
+
+Grid: one program per batch row; each program processes all H heads of that
+row, so per-batch tensors (key mask, intervals, mark one-hots) are blocked
+(1, T, ...) without head broadcasting in HBM.
+
+``mau_attention_reference`` is the jnp parity implementation (same contract,
+materialized) used by the kernel parity tests.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(2.0 ** 32) + 1.0
+# Padded key columns get a strictly lower value than the mask constant so a
+# fully-masked REAL row softmaxes to uniform over the real columns only
+# (exactly what the XLA path produces), not over the padding.
+PAD_NEG = -1.0e38
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _sel_matrix(num_events: int, dh: int, ed_p: int, e_p: int):
+    """(EDp, Ep) 0/1 selector: flattened column e*dh+d sums into event e."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ed_p, e_p), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ed_p, e_p), 1)
+    ok = (rows < num_events * dh) & (rows // dh == cols)
+    return ok.astype(jnp.float32)
+
+
+def _probs_block(q, k, key_mask, *, scale, causal, t_real):
+    """(H, Tp, Tp) masked softmax probabilities for one batch row."""
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    s = s * scale
+    h, t, _ = s.shape
+    s = jnp.where(key_mask[:, None, :] != 0, s, NEG)     # (1, Tp) bcast
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    if causal:
+        s = jnp.where((cols <= rows)[None], s, NEG)
+    s = jnp.where((cols < t_real)[None], s, PAD_NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _intensity_block(probs, t, iv, wd, bd, wf, sel, scaling, *, dh):
+    """seq_units -> sigmoid head -> scaled softplus intensities.
+
+    Returns (lam (H,Tp,Ep), raw (H,Tp,Ep), sig (H,Tp,EDp), x (H,Tp,Cp)).
+    """
+    seq_units = jax.lax.dot_general(
+        probs, t, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (H, Tp, Cp)
+    hh, tp, cp = seq_units.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, cp), 1)
+    x = seq_units + jnp.where((col == dh)[None], 1.0, 0.0) * iv[:, :, None]
+    z = jax.lax.dot_general(x, wd, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    sig = jax.nn.sigmoid(z + bd[None, None, :])          # (H, Tp, EDp)
+    raw = jax.lax.dot_general(sig * wf[None, None, :], sel,
+                              (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    s = jnp.exp(scaling)[None, None, :]                  # (1, 1, Ep)
+    lam = s * jax.nn.softplus(raw / s)
+    return lam, raw, sig, x
+
+
+def _modulation(lam, onehot, probs, *, diag_reset):
+    """intensity_qk (+ diag reset) * probs. onehot: (1, Tp, Ep)."""
+    hh, tp, _ = probs.shape
+    intensity_qk = jax.lax.dot_general(
+        lam, jnp.broadcast_to(onehot, lam.shape[:1] + onehot.shape[1:]),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (H, Tq, Tk)
+    if diag_reset:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+        intensity_qk = jnp.where((rows == cols)[None], 1.0, intensity_qk)
+    return intensity_qk, intensity_qk * probs
+
+
+def _drop_mask(shape, rate: float):
+    """Scaled keep-mask from the (already seeded) TPU PRNG."""
+    bits = pltpu.prng_random_bits(shape)
+    keep_prob = 1.0 - rate
+    thresh = jnp.uint32(int(keep_prob * (2.0 ** 32)))
+    keep = pltpu.bitcast(bits, jnp.uint32) < thresh
+    return jnp.where(keep, 1.0 / keep_prob, 0.0)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
+                oh_ref, wd_ref, bd_ref, wf_ref, sc_ref,
+                out_ref, lam_ref, *,
+                scale, causal, diag_reset, dropout_rate, t_real, dh,
+                num_events, ed_p, e_p):
+    q, k, v, t = q_ref[:], k_ref[:], v_ref[:], t_ref[:]
+    probs = _probs_block(q, k, km_ref[:][0], scale=scale,
+                         causal=causal, t_real=t_real)
+    sel = _sel_matrix(num_events, dh, ed_p, e_p)
+    lam, _, _, _ = _intensity_block(probs, t, iv_ref[:][0], wd_ref[:],
+                                    bd_ref[:], wf_ref[:], sel, sc_ref[:],
+                                    dh=dh)
+    _, modulated = _modulation(lam, oh_ref[:], probs, diag_reset=diag_reset)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        modulated = modulated * _drop_mask(modulated.shape, dropout_rate)
+    out_ref[:] = jax.lax.dot_general(
+        modulated, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    lam_ref[:] = lam
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
+                oh_ref, wd_ref, bd_ref, wf_ref, sc_ref, go_ref, gl_ref,
+                dq_ref, dk_ref, dv_ref, dt_ref, dwd_ref, dbd_ref, dwf_ref,
+                dsc_ref, dwd_acc, dbd_acc, dwf_acc, dsc_acc, *,
+                scale, causal, diag_reset, dropout_rate, t_real, dh,
+                num_events, ed_p, e_p, num_b):
+    bi = pl.program_id(0)
+
+    @pl.when(bi == 0)
+    def _init():
+        dwd_acc[:] = jnp.zeros_like(dwd_acc)
+        dbd_acc[:] = jnp.zeros_like(dbd_acc)
+        dwf_acc[:] = jnp.zeros_like(dwf_acc)
+        dsc_acc[:] = jnp.zeros_like(dsc_acc)
+
+    q, k, v, t = q_ref[:], k_ref[:], v_ref[:], t_ref[:]
+    wd, bd, wf, sc = wd_ref[:], bd_ref[:], wf_ref[:], sc_ref[:]
+    onehot = oh_ref[:]
+    # ---- recompute forward tile
+    probs = _probs_block(q, k, km_ref[:][0], scale=scale,
+                         causal=causal, t_real=t_real)
+    sel = _sel_matrix(num_events, dh, ed_p, e_p)
+    lam, raw, sig, x = _intensity_block(probs, t, iv_ref[:][0], wd, bd, wf,
+                                        sel, sc, dh=dh)
+    intensity_qk, _ = _modulation(lam, onehot, probs, diag_reset=diag_reset)
+
+    go = go_ref[:]                                       # (H, Tp, Cp)
+    # ---- out = (modulated * drop) @ v
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        drop = _drop_mask(probs.shape, dropout_rate)
+    else:
+        drop = None
+    modulated = intensity_qk * probs
+    dropped = modulated * drop if drop is not None else modulated
+    dv_ref[:] = jax.lax.dot_general(
+        dropped, go, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dmod = jax.lax.dot_general(
+        go, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (H, Tq, Tk)
+    if drop is not None:
+        dmod = dmod * drop
+    dint = dmod * probs                                  # d/d intensity_qk
+    dprobs = dmod * intensity_qk
+    # ---- intensity_qk = lam @ onehot^T (diag entries overwritten -> no grad)
+    if diag_reset:
+        tp = dint.shape[-1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+        dint = jnp.where((rows == cols)[None], 0.0, dint)
+    dlam = jax.lax.dot_general(
+        dint, jnp.broadcast_to(onehot, dint.shape[:1] + onehot.shape[1:]),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (H, Tq, Ep)
+    dlam = dlam + gl_ref[:]                              # TPP-side cotangent
+    # ---- lam = s * softplus(raw / s), s = exp(scaling)
+    s = jnp.exp(sc)[None, None, :]
+    sig_r = jax.nn.sigmoid(raw / s)
+    draw = dlam * sig_r
+    # d lam / d scaling = (softplus(raw/s) - sig(raw/s)*raw/s) * s
+    dsc_acc[:, :] += jnp.sum(
+        dlam * (jax.nn.softplus(raw / s) - sig_r * raw / s) * s,
+        axis=(0, 1))[None, :]
+    # ---- raw = (sig * wf) @ sel
+    dsw = jax.lax.dot_general(
+        draw, sel, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (H, Tq, EDp)
+    dwf_acc[:, :] += jnp.sum(dsw * sig, axis=(0, 1))[None, :]
+    dsig = dsw * wf[None, None, :]
+    dz = dsig * sig * (1.0 - sig)
+    # ---- z = x @ wd + bd
+    dx = jax.lax.dot_general(
+        dz, wd, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (H, Tp, Cp)
+    hh = dz.shape[0]
+    for head in range(hh):                               # static H unroll
+        dwd_acc[:, :] += jax.lax.dot_general(
+            x[head], dz[head], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dbd_acc[:, :] += jnp.sum(dz, axis=(0, 1))[None, :]
+    # ---- x = seq_units + iv (interval column is a non-diff input)
+    tp, cp = dx.shape[1], dx.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, cp), 1)
+    dseq = jnp.where((col == dh)[None], 0.0, dx)
+    # ---- seq_units = probs @ t
+    dprobs = dprobs + jax.lax.dot_general(
+        dseq, t, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dt_ref[:] = jax.lax.dot_general(
+        probs, dseq, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    # ---- softmax backward. Masked entries usually have probs == 0, but a
+    # FULLY-masked row softmaxes to uniform (probs != 0); the forward's
+    # where(mask, s, NEG) blocks gradient flow there, so zero dlogit on
+    # every masked entry explicitly.
+    dlogit = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                       keepdims=True))
+    tp_ = dlogit.shape[-1]
+    cols_m = jax.lax.broadcasted_iota(jnp.int32, (tp_, tp_), 1)
+    rows_m = jax.lax.broadcasted_iota(jnp.int32, (tp_, tp_), 0)
+    valid = (km_ref[:][0][:, None, :] != 0) & (cols_m < t_real)[None]
+    if causal:
+        valid = valid & (cols_m <= rows_m)[None]
+    dlogit = jnp.where(valid, dlogit, 0.0)
+    dlogit = dlogit * scale
+    dq_ref[:] = jax.lax.dot_general(
+        dlogit, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dk_ref[:] = jax.lax.dot_general(
+        dlogit, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(bi == num_b - 1)
+    def _store():
+        dwd_ref[:] = dwd_acc[:]
+        dbd_ref[:] = dbd_acc[:]
+        dwf_ref[:] = dwf_acc[:]
+        dsc_ref[:] = dsc_acc[:]
+
+
+def _prep(cfg_shapes, q, k, v, t, key_mask, intervals, onehot):
+    (b, h, t_real, dh), e = cfg_shapes
+    tp = max(_round_up(t_real, 8), 8)
+    cp = _round_up(dh + 1, 128)
+    e_p = _round_up(e, 128)
+    ed_p = _round_up(e * dh, 128)
+
+    def pad4(xx):
+        return jnp.pad(xx.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, tp - t_real),
+                        (0, cp - xx.shape[-1])))
+
+    qp, kp, vp, tp_ = pad4(q), pad4(k), pad4(v), pad4(t)
+    # (B, 1, Tp): TPU block shapes need the last two dims to equal the
+    # array dims (or be (8,128)-divisible); 2D (1, Tp) blocks are rejected
+    km = jnp.pad(key_mask.astype(jnp.float32),
+                 ((0, 0), (0, tp - t_real)))[:, None, :]
+    iv = jnp.pad(intervals.astype(jnp.float32),
+                 ((0, 0), (0, tp - t_real)))[:, None, :]
+    oh = jnp.pad(onehot.astype(jnp.float32),
+                 ((0, 0), (0, tp - t_real), (0, e_p - e)))
+    return (qp, kp, vp, tp_, km, iv, oh), (tp, cp, e_p, ed_p)
+
+
+def _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p):
+    e, dh = w.shape
+    wdp = jnp.pad(wd.astype(jnp.float32),
+                  ((0, cp - wd.shape[0]), (0, ed_p - wd.shape[1])))
+    bdp = jnp.pad(bd.astype(jnp.float32), (0, ed_p - bd.shape[0]))
+    wfp = jnp.pad(w.reshape(e * dh).astype(jnp.float32),
+                  (0, ed_p - e * dh))
+    scp = jnp.pad(scaling.astype(jnp.float32), (0, e_p - e))
+    return wdp, bdp, wfp, scp
+
+
+def _specs(b, h, tp, cp, e_p, ed_p):
+    """in_specs shared by fwd and bwd (minus the grad inputs)."""
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # seed (1,)
+        pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),   # q
+        pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),   # k
+        pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),   # v
+        pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),   # t
+        pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0)),          # key_mask
+        pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0)),          # intervals
+        pl.BlockSpec((1, tp, e_p), lambda i: (i, 0, 0)),        # onehot
+        pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),             # wd
+        pl.BlockSpec((ed_p,), lambda i: (0,)),                  # bd
+        pl.BlockSpec((ed_p,), lambda i: (0,)),                  # wf
+        pl.BlockSpec((e_p,), lambda i: (0,)),                   # scaling
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def mau_attention(q, k, v, t, key_mask, intervals, onehot,
+                  wd, bd, w, scaling, dropout_seed,
+                  causal: bool = False, diag_reset: bool = False,
+                  dropout_rate: float = 0.0,
+                  interpret: bool = False):
+    """Fused self-modulating attention.
+
+    q/k/v/t: (B, H, T, dh); key_mask/intervals: (B, T); onehot: (B, T, E);
+    wd: (dh+1, E*dh); bd: (E*dh,); w: (E, dh); scaling: (E,);
+    dropout_seed: int32 scalar (traced — varies per step without recompile).
+    Returns (out (B, H, T, dh) fp32, mark_intensity (B, H, T, E) fp32).
+    """
+    out, _ = _mau_fwd(q, k, v, t, key_mask, intervals, onehot, wd, bd, w,
+                      scaling, dropout_seed, causal, diag_reset,
+                      dropout_rate, interpret)
+    return out
+
+
+def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
+             dropout_seed, causal, diag_reset, dropout_rate, interpret):
+    b, h, t_real, dh = q.shape
+    e = w.shape[0]
+    (qp, kp, vp, tpj, km, iv, oh), (tp, cp, e_p, ed_p) = _prep(
+        ((b, h, t_real, dh), e), q, k, v, t, key_mask, intervals, onehot)
+    wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p)
+    seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+
+    def kernel(seed_r, q_r, k_r, v_r, t_r, km_r, iv_r, oh_r, wd_r, bd_r,
+               wf_r, sc_r, out_r, lam_r):
+        _fwd_kernel(seed_r, _R3(q_r), _R3(k_r), _R3(v_r), _R3(t_r),
+                    km_r, iv_r, _R2(oh_r), wd_r, bd_r, wf_r, sc_r,
+                    _R3(out_r), _R3(lam_r),
+                    scale=1.0 / dh ** 0.5, causal=causal,
+                    diag_reset=diag_reset, dropout_rate=dropout_rate,
+                    t_real=t_real, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p)
+
+    out, lam = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=_specs(b, h, tp, cp, e_p, ed_p),
+        out_specs=[
+            pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, tp, e_p), lambda i: (i, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, tp, e_p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, qp, kp, vp, tpj, km, iv, oh, wdp, bdp, wfp, scp)
+    res = (q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
+           dropout_seed)
+    return (out[:, :, :t_real, :dh], lam[:, :, :t_real, :e]), res
+
+
+class _R3:
+    """Present a (1, h, tp, c) block ref as (h, tp, c)."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, idx):
+        assert idx == slice(None)
+        return self._ref[0]
+
+    def __setitem__(self, idx, val):
+        assert idx == slice(None)
+        self._ref[0] = val
+
+
+class _R2:
+    """Present a (1, tp, e) block ref as (1, tp, e) -- passthrough with
+    leading dim kept (broadcast over heads happens in the math)."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, idx):
+        assert idx == slice(None)
+        return self._ref[...]
+
+
+def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
+    (q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
+     dropout_seed) = res
+    go, gl = grads
+    b, h, t_real, dh = q.shape
+    e = w.shape[0]
+    (qp, kp, vp, tpj, km, iv, oh), (tp, cp, e_p, ed_p) = _prep(
+        ((b, h, t_real, dh), e), q, k, v, t, key_mask, intervals, onehot)
+    wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p)
+    gop = jnp.pad(go.astype(jnp.float32),
+                  ((0, 0), (0, 0), (0, tp - t_real), (0, cp - dh)))
+    glp = jnp.pad(gl.astype(jnp.float32),
+                  ((0, 0), (0, 0), (0, tp - t_real), (0, e_p - e)))
+    seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+
+    def kernel(seed_r, q_r, k_r, v_r, t_r, km_r, iv_r, oh_r, wd_r, bd_r,
+               wf_r, sc_r, go_r, gl_r, dq_r, dk_r, dv_r, dt_r, dwd_r,
+               dbd_r, dwf_r, dsc_r, dwd_a, dbd_a, dwf_a, dsc_a):
+        _bwd_kernel(seed_r, _R3(q_r), _R3(k_r), _R3(v_r), _R3(t_r),
+                    km_r, iv_r, _R2(oh_r), wd_r, bd_r, wf_r, sc_r,
+                    _R3(go_r), _R3(gl_r),
+                    _R3(dq_r), _R3(dk_r), _R3(dv_r), _R3(dt_r),
+                    dwd_r, dbd_r, dwf_r, dsc_r,
+                    dwd_a, dbd_a, dwf_a, dsc_a,
+                    scale=1.0 / dh ** 0.5, causal=causal,
+                    diag_reset=diag_reset, dropout_rate=dropout_rate,
+                    t_real=t_real, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p,
+                    num_b=b)
+
+    in_specs = _specs(b, h, tp, cp, e_p, ed_p) + [
+        pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),   # go
+        pl.BlockSpec((1, h, tp, e_p), lambda i: (i, 0, 0, 0)),  # gl
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),
+            pl.BlockSpec((1, ed_p), lambda i: (0, 0)),
+            pl.BlockSpec((1, ed_p), lambda i: (0, 0)),
+            pl.BlockSpec((1, e_p), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((cp, ed_p), jnp.float32),
+            jax.ShapeDtypeStruct((1, ed_p), jnp.float32),
+            jax.ShapeDtypeStruct((1, ed_p), jnp.float32),
+            jax.ShapeDtypeStruct((1, e_p), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((cp, ed_p), jnp.float32),
+                        pltpu.VMEM((1, ed_p), jnp.float32),
+                        pltpu.VMEM((1, ed_p), jnp.float32),
+                        pltpu.VMEM((1, e_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(seed, qp, kp, vp, tpj, km, iv, oh, wdp, bdp, wfp, scp, gop, glp)
+    dq, dk, dv, dt, dwd, dbd, dwf, dsc = outs
+
+    def unpad(xx):
+        return xx[:, :, :t_real, :dh].astype(q.dtype)
+
+    dwd_out = dwd[:dh + 1, :e * dh].astype(wd.dtype)
+    dbd_out = dbd[0, :e * dh].astype(bd.dtype)
+    dw_out = dwf[0, :e * dh].reshape(e, dh).astype(w.dtype)
+    dsc_out = dsc[0, :e].astype(scaling.dtype)
+    return (unpad(dq), unpad(dk), unpad(dv), unpad(dt),
+            jnp.zeros_like(key_mask), jnp.zeros_like(intervals),
+            jnp.zeros_like(onehot), dwd_out, dbd_out, dw_out, dsc_out,
+            jnp.zeros_like(jnp.asarray(dropout_seed)))
+
+
+mau_attention.defvjp(_mau_fwd, _mau_bwd)
+
+
+def mau_attention_reference(q, k, v, t, key_mask, intervals, onehot,
+                            wd, bd, w, scaling, *, causal=False,
+                            diag_reset=False, dropout_rate=0.0):
+    """Pure-jnp parity implementation (no dropout support — parity tests run
+    at rate 0; the kernel's TPU-PRNG dropout is validated statistically)."""
+    assert dropout_rate == 0.0
+    b, h, t_real, dh = q.shape
+    e = w.shape[0]
+    scale = 1.0 / dh ** 0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    s = jnp.where(key_mask[:, None, None, :] != 0, s, NEG)
+    if causal:
+        tril = jnp.tril(jnp.ones((t_real, t_real), bool))
+        s = jnp.where(tril[None, None], s, NEG)
+    probs = jax.nn.softmax(s, axis=-1)
+    seq_units = jnp.einsum("bhqk,bhkd->bhqd", probs, t,
+                           preferred_element_type=jnp.float32)
+    x = jnp.concatenate(
+        [seq_units, jnp.broadcast_to(intervals[:, None, :, None],
+                                     (b, h, t_real, 1))], axis=-1)
+    z = jnp.einsum("bhqc,cd->bhqd", x, wd,
+                   preferred_element_type=jnp.float32)
+    sig = jax.nn.sigmoid(z + bd)
+    raw = jnp.einsum("bhqed,ed->bhqe", sig.reshape(b, h, t_real, e, dh), w,
+                     preferred_element_type=jnp.float32)
+    sc = jnp.exp(scaling)
+    lam = sc * jax.nn.softplus(raw / sc)
+    intensity_qk = jnp.einsum("bhqe,bke->bhqk", lam,
+                              onehot.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+    if diag_reset:
+        eye = jnp.eye(t_real, dtype=bool)
+        intensity_qk = jnp.where(eye[None, None], 1.0, intensity_qk)
+    out = jnp.einsum("bhqk,bhkd->bhqd", intensity_qk * probs, v,
+                     preferred_element_type=jnp.float32)
+    return out, lam

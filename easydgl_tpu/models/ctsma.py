@@ -50,7 +50,7 @@ class CTSMA(SequentialModel):
             from easydgl_tpu.models.base import kernel_enabled
             attn = MAU(cfg.num_units, cfg.num_heads, cfg.num_events,
                        cfg.attention_probs_dropout_rate,
-                       intensity_impl=("pallas" if kernel_enabled(cfg)
+                       intensity_impl=("fused" if kernel_enabled(cfg)
                                        else "xla"),
                        name=f"block{i}_mau")
             ffn = FeedForward((cfg.num_units, cfg.num_units),

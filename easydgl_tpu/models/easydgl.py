@@ -93,7 +93,7 @@ class EasyDGL(SequentialModel):
             from easydgl_tpu.models.base import kernel_enabled
             attn = BiMAU(cfg.num_units, cfg.num_heads, cfg.num_events,
                          cfg.attention_probs_dropout_rate,
-                         intensity_impl=("pallas" if kernel_enabled(cfg)
+                         intensity_impl=("fused" if kernel_enabled(cfg)
                                          else "xla"),
                          name=f"block{i}_bimau")
             a, intny = attn(x, x, key_mask, spans, marks, deterministic=det)

@@ -277,6 +277,27 @@ class MAU(nn.Module):
         v, t = split_heads(vv, h), split_heads(tt, h)
         d = q.shape[-1]
 
+        if self.intensity_impl == "fused":
+            # one Pallas kernel for the whole chain (kernels/mau_attention):
+            # QK^T -> mask -> softmax -> probs@T -> intensity head ->
+            # modulate (+ diag reset) -> dropout -> @V, fwd + bwd
+            from easydgl_tpu.kernels.mau_attention import mau_attention
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            out4, mark_intensity = mau_attention(
+                q, k, v, t, key_mask, intervals,
+                mark_onehot.astype(jnp.float32),
+                self.intensity_kernel, self.intensity_bias,
+                self.intensity_weight, self.intensity_scaling, seed,
+                causality, self.diag_reset, rate)
+            out = merge_heads(out4) + queries[:, :, :self.num_units]
+            return out, mark_intensity
+
         logits = mxu_einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
         logits = _mask_logits(logits, key_mask, causality)
         probs = jax.nn.softmax(logits, axis=-1)

@@ -32,6 +32,11 @@ from typing import Dict, Optional
 
 import numpy as np
 
+# Must precede the first tensorflow import in the process: the oneDNN
+# grappler remapper fuses the last-axis-LN pattern into an op that IGNORES
+# the graph's epsilon (uses 1e-3), silently breaking numeric parity.
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+
 REFERENCE_SRC = os.environ.get("EASYDGL_REFERENCE_SRC", "/root/reference/src")
 
 _LOADED: dict = {}
@@ -157,11 +162,13 @@ def _patch_cudnn_gru(tf):
             self.name = name or "cudnn_gru"
 
         def __call__(self, inputs, initial_state=None, training=True):
+            # tf.nn.rnn_cell is Keras-3-gated; use the TF-internal originals
+            from tensorflow.python.ops import rnn, rnn_cell_impl
             cells = [cudnn_rnn_ops.CudnnCompatibleGRUCell(self.num_units)
                      for _ in range(self.num_layers)]
-            multi = tf.nn.rnn_cell.MultiRNNCell(cells)
+            multi = rnn_cell_impl.MultiRNNCell(cells)
             with tf.variable_scope(self.name):
-                outputs, state = tf.nn.dynamic_rnn(
+                outputs, state = rnn.dynamic_rnn(
                     multi, inputs, dtype=tf.float32, time_major=True)
             return outputs, state
 
@@ -223,7 +230,14 @@ class RefModel:
                 tf.get_variable_scope().reuse_variables()
             self._logits_t = self.model(feats, is_training=False)
 
-        self.session = tf.Session()
+        # Belt-and-braces vs the oneDNN LN fusion (see module docstring):
+        # disable grappler remapping for this session.
+        from tensorflow.core.protobuf import rewriter_config_pb2
+        rewrite = rewriter_config_pb2.RewriterConfig(
+            remapping=rewriter_config_pb2.RewriterConfig.OFF)
+        config = tf.ConfigProto(
+            graph_options=tf.GraphOptions(rewrite_options=rewrite))
+        self.session = tf.Session(config=config)
         self.session.run(tf.global_variables_initializer())
         self.variables = {
             v.name: self.session.run(v) for v in tf.trainable_variables()}

@@ -208,3 +208,89 @@ def test_intensity_kernel_bf16_mode(rng):
                                   bd, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)
+
+
+def _mau_data(rng, b=3, h=2, t=7, dh=8, e=5):
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+    q, k, v, tt = mk(b, h, t, dh), mk(b, h, t, dh), mk(b, h, t, dh), \
+        mk(b, h, t, dh)
+    km = jnp.asarray((rng.rand(b, t) > 0.3).astype(np.float32))
+    km = km.at[:, -3:].set(1.0)
+    iv = jnp.asarray(rng.rand(b, t).astype(np.float32))
+    oh = jnp.asarray((rng.rand(b, t, e) > 0.5).astype(np.float32))
+    wd = mk(dh + 1, e * dh) * 0.1
+    bd = mk(e * dh) * 0.1
+    w = mk(e, dh) * 0.1
+    sc = mk(e) * 0.1
+    return q, k, v, tt, km, iv, oh, wd, bd, w, sc
+
+
+@pytest.mark.parametrize("causal,diag", [(True, False), (False, True)])
+def test_mau_attention_forward(rng, causal, diag):
+    """Fused MAU/BiMAU chain (kernels/mau_attention) vs jnp reference."""
+    from easydgl_tpu.kernels.mau_attention import (mau_attention,
+                                                   mau_attention_reference)
+    args = _mau_data(rng)
+    ok, lk = mau_attention(*args, 0, causal, diag, 0.0)
+    orf, lrf = mau_attention_reference(*args, causal=causal, diag_reset=diag)
+    np.testing.assert_allclose(np.asarray(ok), np.asarray(orf),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lk), np.asarray(lrf),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal,diag", [(True, False), (False, True)])
+def test_mau_attention_grads(rng, causal, diag):
+    """All 8 differentiable inputs (q/k/v/t + 4 intensity params), with
+    cotangents on BOTH outputs (attention out + TPP-side intensities)."""
+    from easydgl_tpu.kernels.mau_attention import (mau_attention,
+                                                   mau_attention_reference)
+    q, k, v, t, km, iv, oh, wd, bd, w, sc = _mau_data(rng)
+
+    def loss_k(a):
+        o, l = mau_attention(a[0], a[1], a[2], a[3], km, iv, oh,
+                             a[4], a[5], a[6], a[7], 0, causal, diag, 0.0)
+        return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(l))
+
+    def loss_r(a):
+        o, l = mau_attention_reference(a[0], a[1], a[2], a[3], km, iv, oh,
+                                       a[4], a[5], a[6], a[7],
+                                       causal=causal, diag_reset=diag)
+        return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(l))
+
+    a = (q, k, v, t, wd, bd, w, sc)
+    gk = jax.grad(loss_k)(a)
+    gr = jax.grad(loss_r)(a)
+    names = ("dq", "dk", "dv", "dt", "dwd", "dbd", "dw", "dscaling")
+    for x, y, name in zip(gk, gr, names):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("bimau", [False, True])
+def test_mau_module_fused_equals_xla(rng, bimau):
+    """MAU/BiMAU module: intensity_impl='fused' (one Pallas kernel) must
+    reproduce the XLA path bit-for-bit-ish at dropout 0."""
+    from easydgl_tpu.nn.temporal import MAU, BiMAU
+    b, t, c, h, e = 3, 7, 16, 2, 5
+    x = jnp.asarray(rng.randn(b, t, 2 * c).astype(np.float32))
+    km = jnp.asarray((rng.rand(b, t) > 0.3).astype(np.float32))
+    km = km.at[:, -2:].set(1.0)
+    iv = jnp.asarray(rng.rand(b, t).astype(np.float32))
+    oh = jnp.asarray((rng.rand(b, t, e) > 0.5).astype(np.float32))
+
+    def build(impl):
+        if bimau:
+            return BiMAU(c, h, e, 0.0, intensity_impl=impl)
+        return MAU(c, h, e, 0.0, intensity_impl=impl)
+
+    params = build("xla").init(jax.random.key(0), x, x, km, iv, oh,
+                               deterministic=True)
+    o_x, l_x = build("xla").apply(params, x, x, km, iv, oh,
+                                  deterministic=True)
+    o_f, l_f = build("fused").apply(params, x, x, km, iv, oh,
+                                    deterministic=True)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_x),
+                               rtol=1e-5, atol=1e-5)
