@@ -54,6 +54,11 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu); the JAX_PLATFORMS "
                         "env var is unreliable under preconfigured backends")
+    # multi-host (DCN) launch: pass all three on every process, or none
+    # (TPU pods auto-discover via the cluster environment)
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -116,6 +121,10 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    if args.num_processes and args.num_processes > 1:
+        from easydgl_tpu.core.runtime import init_distributed
+        init_distributed(args.coordinator_address, args.num_processes,
+                         args.process_id)
     cfg = build_config(args)
     (train, valid, test), mark, cfg = load_data(args, cfg)
     logging.info("config: %s", cfg)
@@ -126,14 +135,15 @@ def main(argv=None):
         from easydgl_tpu.core.mesh import make_mesh
         mesh = make_mesh(MeshConfig(dp=args.dp or -1, mp=args.mp))
         logging.info("mesh: %s", dict(mesh.shape))
-    elif cfg.use_pallas is None:
-        # single-device on an accelerator: enable the fused Pallas kernels
-        # (1.83x on v5e; see BASELINE.md). Sharded runs stay on the XLA
-        # path until pallas_call partitioning lands.
+    if cfg.use_pallas is None:
+        # accelerator backends get the fused Pallas kernels; under a mesh
+        # they run inside shard_map (vocab-sharded NLL, data-sharded MAU
+        # attention — kernels/spmd.py)
         import jax
         if jax.default_backend() != "cpu":
             cfg = cfg.replace(use_pallas=True)
-            logging.info("fused Pallas kernels enabled (single device)")
+            logging.info("fused Pallas kernels enabled%s",
+                         " (SPMD via shard_map)" if mesh is not None else "")
 
     from easydgl_tpu.train.loop import train_model
     state, summary = train_model(cfg, train, valid, test, mark_table=mark,

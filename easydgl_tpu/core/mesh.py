@@ -53,3 +53,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def single_device_mesh() -> Mesh:
     return make_mesh(MeshConfig(dp=1, mp=1), devices=jax.devices()[:1])
+
+
+# ---------------------------------------------------------------------------
+# Trace-time SPMD mesh context. The sharded train/eval steps activate it
+# while their bodies trace, so mesh-agnostic code (compute_loss, the MAU
+# module's fused-kernel branch) can wrap Pallas kernels in shard_map —
+# XLA's auto-partitioner cannot split a custom call, so an unwrapped kernel
+# under a mesh would force a full replication/gather.
+# ---------------------------------------------------------------------------
+import contextlib
+import contextvars
+
+_SPMD_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "spmd_mesh", default=None)
+
+
+def spmd_mesh():
+    """The mesh a sharded step is currently tracing under, or None."""
+    return _SPMD_MESH.get()
+
+
+@contextlib.contextmanager
+def use_spmd_mesh(mesh):
+    token = _SPMD_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _SPMD_MESH.reset(token)

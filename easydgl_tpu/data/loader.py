@@ -81,13 +81,19 @@ class BatchLoader:
                        else use_native) and _native.available()
         self._native_mod = _native if self.native else None
         # disjoint per-host row shard
+        self.num_hosts = num_hosts
         self.rows = np.arange(host_id, dataset.num_rows, num_hosts)
 
     def num_batches(self) -> int:
-        n = len(self.rows)
+        """Derived from the GLOBAL row count so every host iterates the
+        same number of steps (collectives inside the jitted step would
+        deadlock on mismatched counts): train takes the floor over the
+        smallest host shard, eval the ceil over the largest."""
+        n = self.data.num_rows
         if self.is_training:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return (n // self.num_hosts) // self.batch_size
+        max_host_rows = -(-n // self.num_hosts)
+        return -(-max_host_rows // self.batch_size)
 
     def _marks_of(self, ids: np.ndarray) -> np.ndarray:
         if self.native:

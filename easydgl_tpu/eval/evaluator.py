@@ -52,8 +52,9 @@ def build_distributed_eval_step(model: SequentialModel, mesh: Mesh):
     mp = mesh.shape[model_axis]
 
     def step(params, features, labels, valid):
+        from easydgl_tpu.core.mesh import use_spmd_mesh
         from easydgl_tpu.nn.layers import use_compute_dtype
-        with use_compute_dtype(cfg.matmul_dtype):
+        with use_compute_dtype(cfg.matmul_dtype), use_spmd_mesh(mesh):
             _, aux = model.apply(params, features, is_training=False)
         hidden, table, bias = aux[SCORING]
         # the model's own dense logits einsum is unused -> DCE'd by XLA

@@ -98,7 +98,7 @@ def _bwd_kernel(x_ref, wd_ref, bd_ref, w_ref, g_ref,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def intensity_raw(x, wd, bd, w, block_n=256):
+def intensity_raw(x, wd, bd, w, block_n=1024):
     """x: (N, C); wd: (C, E*dh); bd: (E*dh,); w: (E, dh) readout.
     Returns (N, E) pre-softplus weighted sums."""
     out, _ = _int_fwd(x, wd, bd, w, block_n)
@@ -129,6 +129,9 @@ def _int_fwd(x, wd, bd, w, block_n):
         ],
         out_specs=pl.BlockSpec((block_n, e), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((np_, e), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, wd, bd, wf)
     return out[:n], (x, wd, bd, w)
 
@@ -138,8 +141,9 @@ def _int_bwd(block_n, res, g):
     e, dh = w.shape
     c = x.shape[1]
     # backward keeps z/s/g_full/ds/dz tiles + weight accumulators live in
-    # VMEM simultaneously -> smaller row tiles than forward
-    block_n = min(block_n, 128)
+    # VMEM simultaneously; the raised vmem_limit (v5e VMEM >> the 16MB
+    # scoped default) lets the tiles stay forward-sized
+    block_n = min(block_n, 512)
     xp, n = _pad_rows(x, block_n)
     gp, _ = _pad_rows(g, block_n)
     np_ = xp.shape[0]
@@ -171,7 +175,8 @@ def _int_bwd(block_n, res, g):
                         pltpu.VMEM((1, e * dh), jnp.float32),
                         pltpu.VMEM((1, e * dh), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, wd, bd, wf, gp)
     # dw: sum over dh happened per flattened column; reshape (E, dh)
     dw_out = dw[0].reshape(e, dh)

@@ -75,19 +75,26 @@ def _intensity_block(probs, t, iv, wd, bd, wf, sel, scaling, *, dh):
     """seq_units -> sigmoid head -> scaled softplus intensities.
 
     Returns (lam (H,Tp,Ep), raw (H,Tp,Ep), sig (H,Tp,EDp), x (H,Tp,Cp)).
+    Matmuls run in the weight/input dtype (bf16 in mixed-precision mode,
+    the MXU fast path) with fp32 accumulation; softmax/sigmoid/softplus
+    stay fp32.
     """
+    cdt = t.dtype
     seq_units = jax.lax.dot_general(
-        probs, t, (((2,), (1,)), ((0,), (0,))),
+        probs.astype(cdt), t, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # (H, Tp, Cp)
     hh, tp, cp = seq_units.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, cp), 1)
     x = seq_units + jnp.where((col == dh)[None], 1.0, 0.0) * iv[:, :, None]
-    z = jax.lax.dot_general(x, wd, (((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    sig = jax.nn.sigmoid(z + bd[None, None, :])          # (H, Tp, EDp)
-    raw = jax.lax.dot_general(sig * wf[None, None, :], sel,
-                              (((2,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    # collapse (H, Tp) -> rows: ONE large MXU matmul instead of H batched
+    # small ones (Tp is sublane-aligned so the reshape is layout-free)
+    x2 = x.reshape(hh * tp, cp)
+    z = jax.lax.dot(x2.astype(cdt), wd,
+                    preferred_element_type=jnp.float32)
+    sig = jax.nn.sigmoid(z + bd[None, :])                # (H*Tp, EDp)
+    raw2 = jax.lax.dot((sig * wf[None, :]).astype(cdt), sel.astype(cdt),
+                       preferred_element_type=jnp.float32)
+    raw = raw2.reshape(hh, tp, raw2.shape[-1])
     s = jnp.exp(scaling)[None, None, :]                  # (1, 1, Ep)
     lam = s * jax.nn.softplus(raw / s)
     return lam, raw, sig, x
@@ -133,7 +140,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         modulated = modulated * _drop_mask(modulated.shape, dropout_rate)
     out_ref[:] = jax.lax.dot_general(
-        modulated, v, (((2,), (1,)), ((0,), (0,))),
+        modulated.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     lam_ref[:] = lam
 
@@ -173,11 +180,12 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         drop = None
     modulated = intensity_qk * probs
     dropped = modulated * drop if drop is not None else modulated
+    cdt = v.dtype
     dv_ref[:] = jax.lax.dot_general(
-        dropped, go, (((1,), (1,)), ((0,), (0,))),
+        dropped.astype(cdt), go.astype(cdt), (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     dmod = jax.lax.dot_general(
-        go, v, (((2,), (2,)), ((0,), (0,))),
+        go.astype(cdt), v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # (H, Tq, Tk)
     if drop is not None:
         dmod = dmod * drop
@@ -203,32 +211,34 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         dlam * (jax.nn.softplus(raw / s) - sig_r * raw / s) * s,
         axis=(0, 1))[None, :]
     # ---- raw = (sig * wf) @ sel
+    hh, tp_q, e_pp = draw.shape
+    draw2 = draw.reshape(hh * tp_q, e_pp)
     dsw = jax.lax.dot_general(
-        draw, sel, (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (H, Tq, EDp)
-    dwf_acc[:, :] += jnp.sum(dsw * sig, axis=(0, 1))[None, :]
-    dsig = dsw * wf[None, None, :]
-    dz = dsig * sig * (1.0 - sig)
-    # ---- z = x @ wd + bd
-    dx = jax.lax.dot_general(
-        dz, wd, (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (H, Tp, Cp)
-    hh = dz.shape[0]
-    for head in range(hh):                               # static H unroll
-        dwd_acc[:, :] += jax.lax.dot_general(
-            x[head], dz[head], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    dbd_acc[:, :] += jnp.sum(dz, axis=(0, 1))[None, :]
+        draw2.astype(cdt), sel.astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (H*Tq, EDp)
+    dwf_acc[:, :] += jnp.sum(dsw * sig, axis=0)[None, :]
+    dsig = dsw * wf[None, :]
+    dz = dsig * sig * (1.0 - sig)                        # (H*Tq, EDp)
+    # ---- z = x @ wd + bd (rows collapsed: one MXU matmul per program)
+    dx2 = jax.lax.dot_general(
+        dz.astype(cdt), wd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (H*Tp, Cp)
+    dx = dx2.reshape(hh, tp_q, dx2.shape[-1])
+    x2 = x.reshape(hh * tp_q, x.shape[-1])
+    dwd_acc[:, :] += jax.lax.dot_general(
+        x2.astype(cdt), dz.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbd_acc[:, :] += jnp.sum(dz, axis=0)[None, :]
     # ---- x = seq_units + iv (interval column is a non-diff input)
     tp, cp = dx.shape[1], dx.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, cp), 1)
     dseq = jnp.where((col == dh)[None], 0.0, dx)
     # ---- seq_units = probs @ t
     dprobs = dprobs + jax.lax.dot_general(
-        dseq, t, (((2,), (2,)), ((0,), (0,))),
+        dseq.astype(cdt), t, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     dt_ref[:] = jax.lax.dot_general(
-        probs, dseq, (((1,), (1,)), ((0,), (0,))),
+        probs.astype(cdt), dseq.astype(cdt), (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     # ---- softmax backward. Masked entries usually have probs == 0, but a
     # FULLY-masked row softmaxes to uniform (probs != 0); the forward's
@@ -245,10 +255,10 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     dlogit = jnp.where(valid, dlogit, 0.0)
     dlogit = dlogit * scale
     dq_ref[:] = jax.lax.dot_general(
-        dlogit, k, (((2,), (1,)), ((0,), (0,))),
+        dlogit.astype(cdt), k, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     dk_ref[:] = jax.lax.dot_general(
-        dlogit, q, (((1,), (1,)), ((0,), (0,))),
+        dlogit.astype(cdt), q, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
     @pl.when(bi == num_b - 1)
@@ -262,14 +272,16 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
 def _prep(cfg_shapes, q, k, v, t, key_mask, intervals, onehot):
     (b, h, t_real, dh), e = cfg_shapes
     tp = max(_round_up(t_real, 8), 8)
-    cp = _round_up(dh + 1, 128)
+    # contraction dims only need sublane (8) alignment; padding to 128 would
+    # nearly double the dominant z-matmul FLOPs at dh=64
+    cp = _round_up(dh + 1, 8)
     e_p = _round_up(e, 128)
     ed_p = _round_up(e * dh, 128)
 
     def pad4(xx):
-        return jnp.pad(xx.astype(jnp.float32),
-                       ((0, 0), (0, 0), (0, tp - t_real),
-                        (0, cp - xx.shape[-1])))
+        # preserve the caller's dtype: bf16 inputs keep the MXU fast path
+        return jnp.pad(xx, ((0, 0), (0, 0), (0, tp - t_real),
+                            (0, cp - xx.shape[-1])))
 
     qp, kp, vp, tp_ = pad4(q), pad4(k), pad4(v), pad4(t)
     # (B, 1, Tp): TPU block shapes need the last two dims to equal the
@@ -283,9 +295,9 @@ def _prep(cfg_shapes, q, k, v, t, key_mask, intervals, onehot):
     return (qp, kp, vp, tp_, km, iv, oh), (tp, cp, e_p, ed_p)
 
 
-def _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p):
+def _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p, cdt):
     e, dh = w.shape
-    wdp = jnp.pad(wd.astype(jnp.float32),
+    wdp = jnp.pad(wd.astype(cdt),
                   ((0, cp - wd.shape[0]), (0, ed_p - wd.shape[1])))
     bdp = jnp.pad(bd.astype(jnp.float32), (0, ed_p - bd.shape[0]))
     wfp = jnp.pad(w.reshape(e * dh).astype(jnp.float32),
@@ -337,7 +349,8 @@ def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
     e = w.shape[0]
     (qp, kp, vp, tpj, km, iv, oh), (tp, cp, e_p, ed_p) = _prep(
         ((b, h, t_real, dh), e), q, k, v, t, key_mask, intervals, onehot)
-    wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p)
+    wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p,
+                                      e_p, q.dtype)
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
 
     def kernel(seed_r, q_r, k_r, v_r, t_r, km_r, iv_r, oh_r, wd_r, bd_r,
@@ -361,6 +374,9 @@ def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
             jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
             jax.ShapeDtypeStruct((b, h, tp, e_p), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(seed, qp, kp, vp, tpj, km, iv, oh, wdp, bdp, wfp, scp)
     res = (q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
@@ -403,7 +419,8 @@ def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
     e = w.shape[0]
     (qp, kp, vp, tpj, km, iv, oh), (tp, cp, e_p, ed_p) = _prep(
         ((b, h, t_real, dh), e), q, k, v, t, key_mask, intervals, onehot)
-    wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p)
+    wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p,
+                                      e_p, q.dtype)
     gop = jnp.pad(go.astype(jnp.float32),
                   ((0, 0), (0, 0), (0, tp - t_real), (0, cp - dh)))
     glp = jnp.pad(gl.astype(jnp.float32),
@@ -457,7 +474,11 @@ def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
                         pltpu.VMEM((1, ed_p), jnp.float32),
                         pltpu.VMEM((1, e_p), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # the recompute backward holds z/sig/dsw/dz tiles + weight
+            # accumulators live at once; the 16MB scoped default is a
+            # compiler cap, not the physical VMEM
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(seed, qp, kp, vp, tpj, km, iv, oh, wdp, bdp, wfp, scp, gop, glp)
     dq, dk, dv, dt, dwd, dbd, dwf, dsc = outs

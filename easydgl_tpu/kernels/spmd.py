@@ -1,0 +1,108 @@
+"""SPMD wrappers putting the Pallas kernels under a (data, model) mesh.
+
+XLA's auto-partitioner cannot split a custom call, so under a mesh the raw
+kernels would be replicated (with full gathers of their operands). These
+wrappers shard_map them instead:
+
+* ``catalog_nll_spmd`` — rows ride the data axis, the tied table/bias ride
+  the model (vocab) axis. Each shard runs the fused streaming-NLL kernel on
+  its vocab slice with shard-local label ids (out-of-shard labels simply
+  never match a tile column, contributing 0 — kernels/scoring.py:64-69),
+  then the shards merge with a psum for the label logit and a max-shifted
+  exp/psum/log for the logsumexp — the same exact merge the distributed
+  evaluator uses (dist/topk.py).
+* ``mau_attention_spmd`` — the fused self-modulating attention kernel is
+  per-batch-row independent, so it shard_maps over the data axis with
+  replicated intensity weights; the AD transpose inserts the weight-grad
+  psums automatically.
+
+Both compose with jax.custom_vjp inside shard_map, so the hand-written
+backwards run per shard and gradients arrive with the input shardings.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from easydgl_tpu.kernels.mau_attention import mau_attention
+from easydgl_tpu.kernels.scoring import catalog_nll
+
+
+def catalog_nll_spmd(hidden, table, bias, labels, mesh,
+                     block_n: int = 256, block_v: int = 2048,
+                     shard_vocab: bool = True):
+    """Vocab- and row-sharded fused catalog NLL.
+
+    hidden (N, C) sharded over data; table (V, C) / bias (V,) row-sharded
+    over model when ``shard_vocab`` (V must divide by the model-axis size;
+    pass False when it doesn't — the table is then replicated and only the
+    rows are sharded); labels (N,) int32 GLOBAL ids.
+    Returns (lse (N,), label_logit (N,)) sharded over data.
+    """
+    data_ax, model_ax = mesh.axis_names
+
+    if not shard_vocab:
+        def local_rows(h, t, b, lab):
+            return catalog_nll(h, t, b, lab.astype(jnp.int32),
+                               block_n, block_v)
+
+        return jax.shard_map(
+            local_rows, mesh=mesh,
+            in_specs=(P(data_ax, None), P(None, None), P(None), P(data_ax)),
+            out_specs=(P(data_ax), P(data_ax)))(hidden, table, bias, labels)
+
+    def local(h, t, b, lab):
+        vj = jax.lax.axis_index(model_ax)
+        v_local = t.shape[0]
+        lab_local = lab.astype(jnp.int32) - vj * v_local
+        # out-of-shard labels -> -1 (matches no column, contributes 0);
+        # without this they could land in the kernel's PADDED vocab columns
+        # and pick up the NEG pad bias
+        lab_local = jnp.where((lab_local >= 0) & (lab_local < v_local),
+                              lab_local, -1)
+        lse_l, ll_l = catalog_nll(h, t, b, lab_local, block_n, block_v)
+        # exact cross-shard merge (max-shifted logsumexp + label psum);
+        # stop_gradient BEFORE pmax — pmax has no AD rule, and the shift
+        # cancels in the gradient anyway
+        m = jax.lax.pmax(jax.lax.stop_gradient(lse_l), model_ax)
+        lse = m + jnp.log(jax.lax.psum(jnp.exp(lse_l - m), model_ax))
+        ll = jax.lax.psum(ll_l, model_ax)
+        return lse, ll
+
+    return jax.shard_map(
+        local, mesh=mesh, check_vma=False,
+        in_specs=(P(data_ax, None), P(model_ax, None), P(model_ax),
+                  P(data_ax)),
+        out_specs=(P(data_ax), P(data_ax)))(hidden, table, bias, labels)
+
+
+def mau_attention_spmd(q, k, v, t, key_mask, intervals, onehot,
+                       wd, bd, w, scaling, seed, mesh,
+                       causal: bool, diag_reset: bool, dropout_rate: float):
+    """Data-sharded fused MAU/BiMAU attention (see kernels/mau_attention).
+
+    Batch (dim 0 of q/k/v/t/key_mask/intervals/onehot) must divide by the
+    data-axis size; weights are replicated. The per-shard dropout seed is
+    offset by the shard index so no two shards reuse a PRNG stream.
+    """
+    data_ax = mesh.axis_names[0]
+
+    def local(q_, k_, v_, t_, km_, iv_, oh_, wd_, bd_, w_, sc_, seed_):
+        di = jax.lax.axis_index(data_ax)
+        shard_seed = seed_ + (di + 1) * jnp.int32(104729)
+        return mau_attention(q_, k_, v_, t_, km_, iv_, oh_, wd_, bd_, w_,
+                             sc_, shard_seed, causal, diag_reset,
+                             dropout_rate)
+
+    d4 = P(data_ax, None, None, None)
+    return jax.shard_map(
+        local, mesh=mesh, check_vma=False,
+        in_specs=(d4, d4, d4, d4, P(data_ax, None), P(data_ax, None),
+                  P(data_ax, None, None), P(None, None), P(None),
+                  P(None, None), P(None), P()),
+        out_specs=(d4, d4))(
+        q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
+        jnp.asarray(seed, jnp.int32))

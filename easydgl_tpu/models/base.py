@@ -27,10 +27,11 @@ SCORING = "scoring"           # (hidden, table, bias) for the fused NLL kernel
 
 
 def kernel_enabled(cfg: Config) -> bool:
-    """Resolve the use_pallas flag (None = auto). Auto currently selects
-    the XLA path: on the remote-compile setup the fused kernels match XLA
-    throughput at flagship shapes but cost ~10x in compile time (see
-    BASELINE.md); set use_pallas=True to force the fused kernels."""
+    """Resolve the use_pallas flag (None = auto -> XLA path; the train CLI
+    flips it on for accelerator backends, cli/train.py). When a sharded
+    step is tracing (core/mesh.use_spmd_mesh), kernel call sites wrap
+    themselves in shard_map (kernels/spmd.py), so the flag is valid under
+    a mesh too."""
     if cfg.use_pallas is not None:
         return cfg.use_pallas
     return False

@@ -289,12 +289,23 @@ class MAU(nn.Module):
                                           dtype=jnp.int32)
             else:
                 seed = jnp.zeros((), jnp.int32)
-            out4, mark_intensity = mau_attention(
-                q, k, v, t, key_mask, intervals,
-                mark_onehot.astype(jnp.float32),
-                self.intensity_kernel, self.intensity_bias,
-                self.intensity_weight, self.intensity_scaling, seed,
-                causality, self.diag_reset, rate)
+            from easydgl_tpu.core.mesh import spmd_mesh
+            mesh = spmd_mesh()
+            if mesh is not None:
+                from easydgl_tpu.kernels.spmd import mau_attention_spmd
+                out4, mark_intensity = mau_attention_spmd(
+                    q, k, v, t, key_mask, intervals,
+                    mark_onehot.astype(jnp.float32),
+                    self.intensity_kernel, self.intensity_bias,
+                    self.intensity_weight, self.intensity_scaling, seed,
+                    mesh, causality, self.diag_reset, rate)
+            else:
+                out4, mark_intensity = mau_attention(
+                    q, k, v, t, key_mask, intervals,
+                    mark_onehot.astype(jnp.float32),
+                    self.intensity_kernel, self.intensity_bias,
+                    self.intensity_weight, self.intensity_scaling, seed,
+                    causality, self.diag_reset, rate)
             out = merge_heads(out4) + queries[:, :, :self.num_units]
             return out, mark_intensity
 

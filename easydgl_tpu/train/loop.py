@@ -32,7 +32,13 @@ def make_loaders(cfg: Config, model: SequentialModel,
                  test: PackedDataset,
                  mark_table: Optional[np.ndarray] = None,
                  host_id: int = 0, num_hosts: int = 1):
-    kw = dict(data_mode=model.data_mode, batch_size=cfg.batch_size,
+    """Per-host loaders. cfg.batch_size is the GLOBAL batch; each host
+    loads batch_size/num_hosts rows of its disjoint shard and the batches
+    are reassembled into global arrays by the multihost prefetcher."""
+    assert cfg.batch_size % num_hosts == 0, \
+        f"global batch {cfg.batch_size} not divisible by {num_hosts} hosts"
+    kw = dict(data_mode=model.data_mode,
+              batch_size=cfg.batch_size // num_hosts,
               masklen=cfg.masklen, seed=cfg.seed, mark_table=mark_table,
               needs_marks=model.uses_tpp, host_id=host_id,
               num_hosts=num_hosts)
@@ -41,15 +47,23 @@ def make_loaders(cfg: Config, model: SequentialModel,
             BatchLoader(test, is_training=False, **kw))
 
 
-def device_prefetch(iterator, size: int = 2, shardings=None):
+def device_prefetch(iterator, size: int = 2, shardings=None,
+                    multihost: bool = False):
     """Keep ``size`` batches in flight on-device (async device_put) so host
     batch assembly and H2D transfer overlap device compute — the pipeline
     role of the reference's tf.data prefetch (dataloader.py:245).
-    ``shardings``: optional fn(pytree) -> sharding pytree for SPMD meshes."""
+    ``shardings``: optional fn(pytree) -> sharding pytree for SPMD meshes.
+    ``multihost``: each host's iterator yields its LOCAL shard of the batch;
+    assemble per-host shards into global arrays (the DCN-spanning form)."""
     import collections
     buf = collections.deque()
 
     def put(item):
+        if multihost:
+            sh = shardings(item)
+            return jax.tree.map(
+                lambda x, s: jax.make_array_from_process_local_data(
+                    s, np.asarray(x)), item, sh)
         if shardings is not None:
             sh = shardings(item)
             return jax.tree.map(
@@ -66,10 +80,11 @@ def device_prefetch(iterator, size: int = 2, shardings=None):
 
 
 def evaluate(eval_step, params, loader: BatchLoader,
-             shardings=None) -> Dict[str, float]:
+             shardings=None, multihost: bool = False) -> Dict[str, float]:
     acc = MetricAccumulator()
     for features, labels, valid in device_prefetch(loader.epoch(),
-                                                   shardings=shardings):
+                                                   shardings=shardings,
+                                                   multihost=multihost):
         acc.update(eval_step(params, features, labels, valid))
     return acc.result()
 
@@ -85,11 +100,20 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
     """Train with early stopping. With ``mesh`` (jax.sharding.Mesh over
     (data, model) axes), the SPMD path is used: DP batches, row-sharded
     item table, distributed full-catalog eval."""
+    from easydgl_tpu.core.runtime import host_shard_info
     model = build_model(cfg)
+    host_id, num_hosts = host_shard_info()
+    multihost = num_hosts > 1
+    if multihost and mesh is None:
+        # multi-host requires a global mesh for cross-host batch assembly
+        from easydgl_tpu.core.mesh import make_mesh
+        mesh = make_mesh(cfg.mesh)
     tr_loader, vl_loader, te_loader = make_loaders(
-        cfg, model, train_ds, valid_ds, test_ds, mark_table)
+        cfg, model, train_ds, valid_ds, test_ds, mark_table,
+        host_id=host_id, num_hosts=num_hosts)
 
-    # init from one sample batch
+    # init from one sample batch (host-local shapes are fine for shapes of
+    # params; the step consumes GLOBAL batches)
     features, labels, _ = next(tr_loader.epoch(0))
     sample = {k: jnp.asarray(v) for k, v in features.items()}
     state = init_state(model, sample, cfg.seed)
@@ -131,7 +155,8 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
         t0 = time.time()
         losses = []
         for features, labels, _ in device_prefetch(tr_loader.epoch(epoch),
-                                                   shardings=batch_sh):
+                                                   shardings=batch_sh,
+                                                   multihost=multihost):
             state, loss = train_step(state, features, labels, rng)
             losses.append(loss)
         state_ref[0] = state
@@ -141,8 +166,10 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
 
         if epoch % cfg.eval_per_steps:
             continue
-        vl = evaluate(eval_step, state.params, vl_loader, batch_sh)
-        te = evaluate(eval_step, state.params, te_loader, batch_sh)
+        vl = evaluate(eval_step, state.params, vl_loader, batch_sh,
+                      multihost)
+        te = evaluate(eval_step, state.params, te_loader, batch_sh,
+                      multihost)
         log.info("%03d: valid %s", epoch,
                  {k: f"{v:.5f}" for k, v in vl.items()})
         if stopper.step(mean_loss, vl.get("H100", 0.0), vl, te):

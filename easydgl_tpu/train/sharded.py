@@ -76,32 +76,43 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 def build_sharded_train_step(model: SequentialModel, mesh: Mesh,
                              sample_batch: Tuple[Dict, Any]):
-    """jit-compiled SPMD train step with explicit in/out shardings."""
+    """jit-compiled SPMD train step with explicit in/out shardings.
+
+    The trace runs under ``use_spmd_mesh`` so Pallas-kernel call sites
+    (compute_loss's catalog NLL, the MAU module's fused attention) wrap
+    themselves in shard_map instead of hitting the auto-partitioner as
+    unsplittable custom calls (core/mesh.py)."""
+    from easydgl_tpu.core.mesh import use_spmd_mesh
     tx = build_optimizer(model.cfg.optim)
     import optax
 
     def step(state: TrainState, features, labels, rng):
-        dropout_rng = jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(
-            lambda p: compute_loss(model, p, features, labels,
-                                   {"dropout": dropout_rng}))(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss
+        with use_spmd_mesh(mesh):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+            loss, grads = jax.value_and_grad(
+                lambda p: compute_loss(model, p, features, labels,
+                                       {"dropout": dropout_rng})
+            )(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
 
     return jax.jit(step, donate_argnums=(0,))
 
 
 def build_sharded_eval_step(model: SequentialModel, mesh: Mesh):
+    from easydgl_tpu.core.mesh import use_spmd_mesh
     mask_seen = model.cfg.mask_seen
     data_axis = mesh.axis_names[0]
 
     def step(params, features, labels, valid):
-        logits, _ = model.apply(params, features, is_training=False)
-        logits = jax.lax.with_sharding_constraint(
-            logits, NamedSharding(mesh, P(data_axis, None)))
-        if mask_seen:
-            logits = mask_seen_logits(logits, features["seqs_i"])
-        return metric_sums(logits, labels[:, -1], valid)
+        with use_spmd_mesh(mesh):
+            logits, _ = model.apply(params, features, is_training=False)
+            logits = jax.lax.with_sharding_constraint(
+                logits, NamedSharding(mesh, P(data_axis, None)))
+            if mask_seen:
+                logits = mask_seen_logits(logits, features["seqs_i"])
+            return metric_sums(logits, labels[:, -1], valid)
 
     return jax.jit(step)

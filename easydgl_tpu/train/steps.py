@@ -90,15 +90,32 @@ def compute_loss(model: SequentialModel, params, features: Dict, labels,
     if SCORING in aux and _kernel_enabled(cfg):
         # fused tile-streamed catalog NLL (Pallas); the logits einsum above
         # becomes dead code and is eliminated by XLA
+        from easydgl_tpu.core.mesh import spmd_mesh
         from easydgl_tpu.kernels.scoring import catalog_nll
         hidden, table, bias = aux[SCORING]
         v = table.shape[0]
-        block_n = min(512, _round8(hidden.shape[0]))
-        block_v = min(2048, _round128(v))
         dt = cfg.matmul_dtype
         if dt is not None:
             hidden, table = hidden.astype(dt), table.astype(dt)
-        lse, ll = catalog_nll(hidden, table, bias, flat, block_n, block_v)
+        mesh = spmd_mesh()
+        if mesh is not None:
+            # vocab-sharded kernel: rows on the data axis, table rows on the
+            # model axis, exact lse/label psum merge (kernels/spmd.py)
+            from easydgl_tpu.kernels.spmd import catalog_nll_spmd
+            mp = mesh.shape[mesh.axis_names[1]]
+            dp = mesh.shape[mesh.axis_names[0]]
+            shard_vocab = mp > 1 and v % mp == 0
+            v_loc = v // mp if shard_vocab else v
+            n_loc = hidden.shape[0] // dp
+            lse, ll = catalog_nll_spmd(
+                hidden, table, bias, flat, mesh,
+                min(512, _round8(n_loc)), min(2048, _round128(v_loc)),
+                shard_vocab=shard_vocab)
+        else:
+            block_n = min(512, _round8(hidden.shape[0]))
+            block_v = min(2048, _round128(v))
+            lse, ll = catalog_nll(hidden, table, bias, flat, block_n,
+                                  block_v)
         ce = lse - ll
     else:
         ce, _ = _label_nll(logits, flat)

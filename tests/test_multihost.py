@@ -1,0 +1,172 @@
+"""Real multi-process (2-host) data-parallel test over jax.distributed.
+
+Spawns two CPU processes that rendezvous through a local coordinator, each
+loading its DISJOINT host shard (data/loader.py round-robin rows), training
+two global-batch steps and running the distributed eval. Checks:
+
+* the union of the two hosts' row shards is the full dataset, disjointly;
+* both hosts report identical (replicated) losses and metrics;
+* the 2-host eval metrics equal a single-process evaluation of the same
+  params on the same data (eval protocol is deterministic and metric sums
+  are order-independent, so the partition must not matter).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, port = int(sys.argv[1]), sys.argv[2]
+jax.distributed.initialize(f"127.0.0.1:{port}", 2, pid)
+assert jax.process_count() == 2 and jax.device_count() == 2
+
+import jax.numpy as jnp
+from easydgl_tpu.config import preset
+from easydgl_tpu.core.mesh import make_mesh
+from easydgl_tpu.core.runtime import host_shard_info
+from easydgl_tpu.data.synthetic import synthetic_split
+from easydgl_tpu.models.registry import build_model
+from easydgl_tpu.train.loop import (device_prefetch, evaluate, make_loaders,
+                                    train_model)
+from easydgl_tpu.train.sharded import (batch_shardings, shard_state,
+                                       build_sharded_train_step,
+                                       build_sharded_eval_step)
+from easydgl_tpu.train.steps import init_state
+
+cfg = preset("GRU4REC").replace(num_items=40, seqslen=8, num_units=16,
+                                num_blocks=1, num_heads=1, batch_size=8,
+                                hidden_dropout_rate=0.0, mask_seen=False)
+mk = dict(num_items=cfg.num_items, seqslen=cfg.seqslen)
+tr = synthetic_split(num_rows=32, seed=1, **mk)
+ev = synthetic_split(num_rows=20, seed=2, **mk)   # odd shard sizes: 10/10
+
+model = build_model(cfg)
+host_id, num_hosts = host_shard_info()
+tr_l, vl_l, te_l = make_loaders(cfg, model, tr, ev, ev,
+                                host_id=host_id, num_hosts=num_hosts)
+print("SHARD", json.dumps({"host": host_id,
+                           "rows": tr_l.rows.tolist()}), flush=True)
+
+mesh = make_mesh(cfg.mesh)
+f0, _, _ = next(tr_l.epoch(0))
+state = shard_state(init_state(
+    model, {k: jnp.asarray(v) for k, v in f0.items()}, cfg.seed), mesh)
+step = build_sharded_train_step(model, mesh, None)
+b_sh = lambda item: batch_shardings(item, mesh)
+
+rng = jax.random.key(cfg.seed)
+losses = []
+for features, labels, _ in device_prefetch(tr_l.epoch(0), shardings=b_sh,
+                                           multihost=True):
+    state, loss = step(state, features, labels, rng)
+    losses.append(float(loss))
+
+eval_step = build_sharded_eval_step(model, mesh)
+metrics = evaluate(eval_step, state.params, vl_l, b_sh, multihost=True)
+print("RESULT", json.dumps({"host": host_id, "losses": losses,
+                            "metrics": metrics}), flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_data_parallel(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("XLA_FLAGS", None)   # 1 local device per process
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(__file__)))
+        for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    shards, results = {}, {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("SHARD "):
+                d = json.loads(line[6:])
+                shards[d["host"]] = d["rows"]
+            if line.startswith("RESULT "):
+                d = json.loads(line[7:])
+                results[d["host"]] = d
+
+    # disjoint shards covering the dataset
+    assert sorted(shards[0] + shards[1]) == list(range(32))
+    assert not set(shards[0]) & set(shards[1])
+
+    # replicated losses/metrics agree across hosts
+    np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
+                               rtol=1e-6)
+    for k in results[0]["metrics"]:
+        np.testing.assert_allclose(results[0]["metrics"][k],
+                                   results[1]["metrics"][k], rtol=1e-6,
+                                   err_msg=k)
+
+    # single-process evaluation of the SAME params on the SAME data must
+    # give the same metrics: replay the same global training batches
+    import jax
+    import jax.numpy as jnp
+
+    from easydgl_tpu.config import preset
+    from easydgl_tpu.data.loader import BatchLoader
+    from easydgl_tpu.data.synthetic import synthetic_split
+    from easydgl_tpu.models.registry import build_model
+    from easydgl_tpu.train.loop import evaluate, make_loaders
+    from easydgl_tpu.train.steps import (build_eval_step, build_train_step,
+                                         init_state)
+
+    cfg = preset("GRU4REC").replace(num_items=40, seqslen=8, num_units=16,
+                                    num_blocks=1, num_heads=1, batch_size=8,
+                                    hidden_dropout_rate=0.0, mask_seen=False)
+    mk = dict(num_items=cfg.num_items, seqslen=cfg.seqslen)
+    tr = synthetic_split(num_rows=32, seed=1, **mk)
+    ev = synthetic_split(num_rows=20, seed=2, **mk)
+    model = build_model(cfg)
+
+    # reconstruct each global batch as the two host loaders produced it
+    host_loaders = [BatchLoader(tr, data_mode=model.data_mode, batch_size=4,
+                                masklen=cfg.masklen, is_training=True,
+                                seed=cfg.seed, host_id=h, num_hosts=2)
+                    for h in (0, 1)]
+    f0, _, _ = next(host_loaders[0].epoch(0))
+    state = init_state(model, {k: jnp.asarray(v) for k, v in f0.items()},
+                       cfg.seed)
+    step = build_train_step(model, donate=False)
+    rng = jax.random.key(cfg.seed)
+    losses = []
+    for (fa, la, _), (fb, lb, _) in zip(host_loaders[0].epoch(0),
+                                        host_loaders[1].epoch(0)):
+        feats = {k: jnp.concatenate([jnp.asarray(fa[k]),
+                                     jnp.asarray(fb[k])]) for k in fa}
+        labels = jnp.concatenate([jnp.asarray(la), jnp.asarray(lb)])
+        state, loss = step(state, feats, labels, rng)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, results[0]["losses"],
+                               rtol=1e-5, atol=1e-6)
+
+    _, vl_l, _ = make_loaders(cfg, model, tr, ev, ev)
+    ref_metrics = evaluate(build_eval_step(model), state.params, vl_l)
+    for k in ref_metrics:
+        np.testing.assert_allclose(results[0]["metrics"][k], ref_metrics[k],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)

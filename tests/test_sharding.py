@@ -196,3 +196,91 @@ def test_train_model_with_mesh(rng, tmp_path):
                              num_epochs=2, mesh=mesh)
     assert res and 0.0 <= res["H100"] <= 1.0
     assert int(state.step) == 2 * (64 // 16)
+
+
+def test_sharded_train_step_with_pallas_kernels(rng):
+    """use_pallas=True under a (2 data x 4 model) mesh: the shard_mapped
+    kernels (vocab-sharded catalog NLL + data-sharded fused MAU attention,
+    kernels/spmd.py) must reproduce the single-device KERNEL step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from easydgl_tpu.data.loader import BatchLoader
+    from easydgl_tpu.data.synthetic import (synthetic_mark_table,
+                                            synthetic_split)
+    from easydgl_tpu.models.registry import build_model
+    from easydgl_tpu.train.sharded import (batch_shardings,
+                                           build_sharded_train_step,
+                                           shard_state)
+    from easydgl_tpu.train.steps import build_train_step, init_state
+
+    cfg = preset("EasyDGL").replace(
+        num_items=47, seqslen=8, num_units=16, num_heads=2, num_blocks=1,
+        num_events=4, masklen=4, batch_size=8, hidden_dropout_rate=0.0,
+        attention_probs_dropout_rate=0.0, ct_reg=1e-4, use_pallas=True)
+    model = build_model(cfg)
+    assert model.vocab_size % 4 == 0      # 48 rows over mp=4
+
+    ds = synthetic_split(num_rows=16, num_items=cfg.num_items, seqslen=8,
+                         seed=5)
+    table = synthetic_mark_table(cfg.num_items, 4, seed=2)
+    ld = BatchLoader(ds, data_mode="mau", batch_size=8, masklen=4,
+                     is_training=True, mark_table=table, needs_marks=True)
+    features, labels, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(vv) for k, vv in features.items()}
+    labels = jnp.asarray(labels)
+
+    with pltpu.force_tpu_interpret_mode():
+        state = init_state(model, feats, seed=0)
+        rng_key = jax.random.key(7)
+
+        ref_step = build_train_step(model, donate=False)
+        ref_state, ref_loss = ref_step(state, feats, labels, rng_key)
+
+        mesh = make_mesh(MeshConfig(dp=2, mp=4))
+        sh_state = shard_state(state, mesh)
+        b_sh = batch_shardings((feats, labels), mesh)
+        feats_sh = jax.tree.map(jax.device_put, feats, b_sh[0])
+        labels_sh = jax.device_put(labels, b_sh[1])
+        step = build_sharded_train_step(model, mesh, (feats, labels))
+        new_state, loss = step(sh_state, feats_sh, labels_sh, rng_key)
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(ref_state.params),
+                jax.tree_util.tree_leaves_with_path(new_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=str(pa))
+
+
+def test_catalog_nll_spmd_unit(mesh, rng):
+    """Vocab-sharded fused NLL == reference, values AND grads (the
+    out-of-shard-label -> padded-column trap is the regression target)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from easydgl_tpu.kernels.scoring import catalog_nll_reference
+    from easydgl_tpu.kernels.spmd import catalog_nll_spmd
+
+    n, c, v = 16, 8, 48
+    hidden = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    table = jnp.asarray(rng.randn(v, c).astype(np.float32))
+    bias = jnp.asarray(rng.randn(v).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, v, (n,)).astype(np.int32))
+
+    def loss_s(h, t, b):
+        lse, ll = catalog_nll_spmd(h, t, b, labels, mesh, 8, 16)
+        return jnp.sum((lse - ll) * jnp.arange(1.0, n + 1))
+
+    def loss_r(h, t, b):
+        lse, ll = catalog_nll_reference(h, t, b, labels)
+        return jnp.sum((lse - ll) * jnp.arange(1.0, n + 1))
+
+    with pltpu.force_tpu_interpret_mode():
+        np.testing.assert_allclose(float(loss_s(hidden, table, bias)),
+                                   float(loss_r(hidden, table, bias)),
+                                   rtol=1e-5)
+        gs = jax.grad(loss_s, argnums=(0, 1, 2))(hidden, table, bias)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(hidden, table, bias)
+    for a, b_, name in zip(gs, gr, ("dhidden", "dtable", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
