@@ -358,3 +358,29 @@ def test_adamw_warmup_optimizer():
     new = optax.apply_updates(params, updates)
     for leaf in jax.tree.leaves(new):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("name,kw,golden", [
+    ("EasyDGL", dict(ct_reg=1e-3, time_scale=1000.0),
+     {"H10": 0.40625, "H100": 1.0, "H50": 1.0,
+      "N10": 0.207052, "N100": 0.341178, "N50": 0.341178}),
+    ("CTSMA", dict(ct_reg=1e-3, time_scale=1000.0),
+     {"H10": 0.21875, "H100": 1.0, "H50": 1.0,
+      "N10": 0.084841, "N100": 0.258039, "N50": 0.258039}),
+    ("TiSASREC", dict(time_scale=1000.0, timelen=20),
+     {"H10": 0.25, "H100": 1.0, "H50": 1.0,
+      "N10": 0.109497, "N100": 0.272232, "N50": 0.272232}),
+])
+def test_golden_metrics_temporal_models(name, kw, golden):
+    """Golden-metric drift detectors for the numerically hairiest paths —
+    EasyDGL (BiMAU TPP + mau masking), CTSMA (MAU TPP), TiSASREC (interval
+    buckets) — complementing the GRU4REC fixture above. Values produced by
+    the round-2 code that passes differential TF-reference parity
+    (tests/test_parity_tf.py); update only for INTENTIONAL changes."""
+    cfg = _cfg(name, **kw)
+    tr, vl, te = _splits()
+    table = (synthetic_mark_table(V, 4, seed=4)
+             if name in ("EasyDGL", "CTSMA") else None)
+    _, res = train_model(cfg, tr, vl, te, mark_table=table, num_epochs=4)
+    for k, v in golden.items():
+        np.testing.assert_allclose(res[k], v, rtol=1e-4, err_msg=k)
