@@ -12,8 +12,11 @@ production mixed-precision mode; fp32 numbers are recorded in BASELINE.md).
 vs_baseline: the reference publishes NO throughput numbers (SURVEY.md §6).
 BASELINE_EXAMPLES_PER_SEC is our running estimate of the TF1 reference on
 its single GPU (TF 1.15-compat graph mode, V100-class, ~4 steps/s at batch
-512) — provisional until a measured TF baseline exists, kept fixed so
-vs_baseline is comparable across rounds.
+512), kept fixed so vs_baseline is comparable across rounds. A MEASURED
+anchor exists since round 2: the reference graph on this host's CPU does
+25.6 ex/s (scripts/tf_reference_bench.py, BASELINE.md "Measured
+TF-reference anchor") — the 2,000 estimate sits well inside the
+CPU-floor..GPU bracket.
 
 Measured history (v5e-1, this repo):
   round 1: fp32 XLA 59.2 ms/step (8,652 ex/s); bf16 XLA 39.8 ms/step
@@ -87,11 +90,46 @@ def main():
     assert final_loss == final_loss, "NaN loss in benchmark"
 
     ex_per_sec = STEPS * cfg.batch_size / best_dt
+    ms_per_step = best_dt / STEPS * 1e3
+
+    # MFU vs the chip's bf16 peak; FLOPs from the compiled step when the
+    # backend exposes cost analysis, else the analytic ~800 GFLOP estimate
+    # (BASELINE.md round-1 notes)
+    step_flops = 800e9
+    try:
+        ca = step.lower(state, *batches[0], rng).compile().cost_analysis()
+        if ca and ca.get("flops"):
+            step_flops = float(ca["flops"])
+    except Exception:
+        pass
+    peak = 197e12  # v5e bf16
+    mfu = step_flops / (best_dt / STEPS) / peak
+
+    # full-catalog eval throughput (mask_seen + top-100 path)
+    from easydgl_tpu.train.steps import build_eval_step
+    eval_step = build_eval_step(model)
+    eloader = BatchLoader(ds, data_mode="mau", batch_size=cfg.batch_size,
+                          masklen=cfg.masklen, is_training=False,
+                          mark_table=table, needs_marks=True)
+    ef, el, ev = next(eloader.epoch(0))
+    efeats = {k: jax.device_put(jnp.asarray(v)) for k, v in ef.items()}
+    el, ev = jnp.asarray(el), jnp.asarray(ev)
+    sums = eval_step(state.params, efeats, el, ev)
+    float(sums["count"])  # compile + barrier
+    t0 = time.perf_counter()
+    for _ in range(10):
+        sums = eval_step(state.params, efeats, el, ev)
+    float(sums["count"])
+    eval_seqs = 10 * cfg.batch_size / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "easydgl_train_examples_per_sec_per_chip",
         "value": round(ex_per_sec, 1),
         "unit": "examples/s",
         "vs_baseline": round(ex_per_sec / BASELINE_EXAMPLES_PER_SEC, 3),
+        "ms_per_step": round(ms_per_step, 2),
+        "mfu": round(mfu, 4),
+        "eval_seqs_per_sec": round(eval_seqs, 1),
     }))
 
 

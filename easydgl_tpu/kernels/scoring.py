@@ -95,7 +95,8 @@ def _fwd_call(hidden, table, bias, labels, *, block_n: int, block_v: int):
                    jax.ShapeDtypeStruct((n, 1), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((block_n, 1), jnp.float32)] * 3,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(hidden, table, bias, labels)
     return lse[:, 0], ll[:, 0]
 
@@ -207,10 +208,10 @@ def _catalog_bwd(block_n, block_v, res, grads):
     n, c = hidden.shape
     v = table.shape[0]
     # backward keeps a (block_v, C) accumulator + score tiles resident in
-    # VMEM simultaneously — smaller tiles than forward to fit the ~16MB
-    # scoped budget
-    block_n = min(block_n, 256)
-    block_v = min(block_v, 1024)
+    # VMEM simultaneously; vmem_limit below is raised past the 16MB scoped
+    # default (v5e VMEM is far larger), so tiles stay near forward-sized
+    block_n = min(block_n, 512)
+    block_v = min(block_v, 2048)
     hp, tp, bp, lp, _, _ = _pad(hidden, table, bias, labels, block_n, block_v)
     np_, vp = hp.shape[0], tp.shape[0]
     num_n, num_v = np_ // block_n, vp // block_v
@@ -235,7 +236,8 @@ def _catalog_bwd(block_n, block_v, res, grads):
         out_shape=jax.ShapeDtypeStruct((np_, c), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_n, c), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(hp, tp, bp, lab2, lse2, dlse2, dll2)
 
     dt, db = pl.pallas_call(
@@ -259,7 +261,8 @@ def _catalog_bwd(block_n, block_v, res, grads):
         scratch_shapes=[pltpu.VMEM((block_v, c), jnp.float32),
                         pltpu.VMEM((1, block_v), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(hp, tp, bp, lab2, lse2, dlse2, dll2)
 
     return (dh[:n].astype(hidden.dtype), dt[:v].astype(table.dtype),
