@@ -191,7 +191,16 @@ class RefModel:
 
     def __init__(self, model_name: str, cfg, feature_specs: Dict[str, tuple],
                  mark_file: Optional[str] = None, seed: int = 1234,
-                 build_train: bool = True):
+                 build_train: bool = True, train_mode: str = "loss"):
+        """train_mode:
+        * "loss" — trainOp patched to identity; ``train_loss`` fetches the
+          raw pre-optimizer loss (no variables are updated).
+        * "step" — the model's REAL trainOp (its own optimizer: plain Adam
+          for the Sequential default, beta2=0.98/eps=1e-9/clip-5 for
+          GRU4REC/S2PNM/TGREC, Base.py:142-144 + GRU4REC.py:60-71);
+          ``train_step`` runs one update and returns the pre-update loss —
+          used by the trajectory-parity tests.
+        """
         tf, model_pkg = load_ref()
         _patch_cudnn_gru(tf)
         self._tf = tf
@@ -213,20 +222,35 @@ class RefModel:
                                              name="labels")
 
             if build_train:
-                # patch trainOp -> identity on the CONCRETE class (GRU4REC/
-                # S2PNM override it) so train_op is the RAW loss tensor
+                # patch trainOp on the CONCRETE class (GRU4REC/S2PNM
+                # override it): "loss" mode replaces it with the identity so
+                # train_op IS the raw loss tensor; "step" mode wraps the real
+                # one to capture the loss tensor alongside the update op
                 cls = type(self.model)
                 sentinel = object()
                 orig = cls.__dict__.get("trainOp", sentinel)
-                cls.trainOp = lambda self_, loss: loss
+                if train_mode == "loss":
+                    cls.trainOp = lambda self_, loss: loss
+                else:
+                    captured = {}
+                    real = cls.trainOp  # resolved via the MRO
+
+                    def _capture(self_, loss, _real=real, _c=captured):
+                        _c["loss"] = loss
+                        return _real(self_, loss)
+
+                    cls.trainOp = _capture
                 try:
-                    self._loss_t, _, _ = self.model.train(
-                        feats, self._labels_ph)
+                    built, _, _ = self.model.train(feats, self._labels_ph)
                 finally:
                     if orig is sentinel:
                         del cls.trainOp
                     else:
                         cls.trainOp = orig
+                if train_mode == "loss":
+                    self._loss_t, self._train_op = built, None
+                else:
+                    self._loss_t, self._train_op = captured["loss"], built
                 tf.get_variable_scope().reuse_variables()
             self._logits_t = self.model(feats, is_training=False)
 
@@ -257,6 +281,15 @@ class RefModel:
                    labels: np.ndarray) -> float:
         return float(self.session.run(
             self._loss_t, self._feed(features, labels)))
+
+    def train_step(self, features: Dict[str, np.ndarray],
+                   labels: np.ndarray) -> float:
+        """One optimizer update (train_mode='step'); returns the PRE-update
+        loss (TF fetches in a single run see pre-update variable values)."""
+        assert self._train_op is not None, "built with train_mode='loss'"
+        loss, _ = self.session.run([self._loss_t, self._train_op],
+                                   self._feed(features, labels))
+        return float(loss)
 
     def close(self):
         self.session.close()

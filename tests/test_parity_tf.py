@@ -263,6 +263,90 @@ def test_ctsma_parity(mark_setup):
                 my_train_extra=extra, my_eval_extra=extra)
 
 
+# ---------------------------------------------------------------------------
+# Trajectory parity: N real optimizer steps on both sides from transplanted
+# weights must produce the same per-step loss sequence. This extends the
+# single-point loss check to GRADIENTS and the OPTIMIZER (reference trainOp:
+# plain Adam Base.py:142-144; beta2=0.98/eps=1e-9/global-norm-clip-5 for
+# GRU4REC, GRU4REC.py:60-71) — a drift in any backward pass or update rule
+# compounds across steps and fails the comparison.
+# ---------------------------------------------------------------------------
+
+TRAJ_STEPS = 5
+
+
+def run_trajectory(name, cfg, feature_specs, batch_fn, *, mark_file=None,
+                   extras_fn=None, rtol=3e-4):
+    from easydgl_tpu.train.steps import build_train_step, init_state
+    ref = RefModel(name, cfg, feature_specs, mark_file=mark_file,
+                   train_mode="step")
+    try:
+        batches = [batch_fn(s) for s in range(TRAJ_STEPS)]
+        f0, l0 = batches[0]
+        my0 = {**f0, **(extras_fn(f0, l0) if extras_fn else {})}
+        model, params = my_model(name, cfg, my0)
+        params = transplant(params, MAPPERS[name](ref.variables, cfg))
+        state = init_state(
+            model, {k: jax.numpy.asarray(v) for k, v in my0.items()}, seed=0)
+        state = state._replace(params=params)
+        step = build_train_step(model, donate=False)
+        rng = jax.random.key(7)  # dropout rates are zero — rng is inert
+        my_losses, ref_losses = [], []
+        for feats, labels in batches:
+            myf = {**feats, **(extras_fn(feats, labels) if extras_fn else {})}
+            jf = {k: jax.numpy.asarray(v) for k, v in myf.items()}
+            state, ml = step(state, jf, jax.numpy.asarray(labels), rng)
+            my_losses.append(float(ml))            # pre-update loss
+            ref_losses.append(ref.train_step(feats, labels))
+        np.testing.assert_allclose(my_losses, ref_losses, rtol=rtol)
+    finally:
+        ref.close()
+
+
+def test_sasrec_trajectory_parity():
+    cfg = tiny_cfg("SASREC")
+
+    def batch(s):
+        ids, ts = seq_batch(seed=20 + s)
+        return regressive_feats(ids, ts)
+
+    run_trajectory("SASREC", cfg, {"seqs_i": ((L,), "int32")}, batch)
+
+
+def test_gru4rec_trajectory_parity():
+    """Covers the clipped/beta2=0.98/eps=1e-9 optimizer variant and the scan
+    GRU backward vs the reference's CudnnCompatibleGRUCell stack."""
+    cfg = tiny_cfg("GRU4REC", num_heads=1)
+
+    def batch(s):
+        ids, ts = seq_batch(seed=40 + s)
+        return regressive_feats(ids, ts)
+
+    run_trajectory("GRU4REC", cfg, {"seqs_i": ((L,), "int32")}, batch)
+
+
+def test_easydgl_trajectory_parity(mark_setup):
+    """Flagship: masked protocol + MAU intensity + TPP regularizer grads."""
+    mark, mark_file, E = mark_setup
+    cfg = tiny_cfg("EasyDGL", ct_reg=1e-3, num_events=E)
+    specs = {"seqs_i": ((L + 1,), "int32"), "seqs_t": ((L + 1,), "float32"),
+             "masked_positions": ((cfg.masklen,), "int32")}
+
+    def batch(s):
+        ids, ts, pos, masked, labels, _ = masked_batch(
+            mask_id=V, ignore_head=True, seed=30 + s)
+        return {"seqs_i": masked, "seqs_t": ts,
+                "masked_positions": pos}, labels
+
+    def extras(feats, labels):
+        safe = np.where(feats["seqs_i"] == V, 0, feats["seqs_i"])
+        return {"seqs_marks": mark[safe].astype(np.float32),
+                "next_marks": mark[labels].astype(np.float32)}
+
+    run_trajectory("EasyDGL", cfg, specs, batch, mark_file=mark_file,
+                   extras_fn=extras)
+
+
 def test_easydgl_parity(mark_setup):
     mark, mark_file, E = mark_setup
     cfg = tiny_cfg("EasyDGL", ct_reg=1e-3, num_events=E)
