@@ -18,9 +18,15 @@ emits dq/dk/dv/dt per tile plus weight grads accumulated across the
 sequential grid. Dropout uses the TPU PRNG with a per-program seed, so the
 backward regenerates the identical mask without materializing it.
 
-Grid: one program per batch row; each program processes all H heads of that
-row, so per-batch tensors (key mask, intervals, mark one-hots) are blocked
-(1, T, ...) without head broadcasting in HBM.
+Grid: one program per BLOCK of batch rows (auto-sized: the largest of
+8/4/2/1 rows whose working set fits VMEM — 4 fwd / 2 bwd at the flagship
+shape). Each program processes all H heads of its rows with the leading
+(rows, heads) dims merged, so the dominant matmuls see rows*H*T-row
+operands and per-program overhead is amortized; per-batch tensors (key
+mask, intervals, mark one-hots) are blocked (BB, T, ...) without head
+broadcasting in HBM. Dropout is seeded PER BATCH ROW (seed + absolute row
+index), so the backward regenerates identical masks even at a different
+block size.
 
 ``mau_attention_reference`` is the jnp parity implementation (same contract,
 materialized) used by the kernel parity tests.
@@ -44,6 +50,18 @@ PAD_NEG = -1.0e38
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _auto_bb(b: int, h: int, tp: int, ed_p: int, live: int,
+             budget: int) -> int:
+    """Largest batch-rows-per-program of (8,4,2,1) dividing b whose ``live``
+    simultaneous (h*tp, ed_p) fp32 temporaries fit the VMEM ``budget``."""
+    per_row = live * h * tp * ed_p * 4
+    bb = 1
+    for cand in (2, 4, 8):
+        if b % cand == 0 and cand * per_row <= budget:
+            bb = cand
+    return bb
 
 
 def _sel_matrix(num_events: int, dh: int, ed_p: int, e_p: int):
@@ -101,12 +119,13 @@ def _intensity_block(probs, t, iv, wd, bd, wf, sel, scaling, *, dh):
 
 
 def _modulation(lam, onehot, probs, *, diag_reset):
-    """intensity_qk (+ diag reset) * probs. onehot: (1, Tp, Ep)."""
+    """intensity_qk (+ diag reset) * probs. onehot: (G, Tp, Ep) or
+    broadcastable to lam's leading dim."""
     hh, tp, _ = probs.shape
     intensity_qk = jax.lax.dot_general(
         lam, jnp.broadcast_to(onehot, lam.shape[:1] + onehot.shape[1:]),
         (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (H, Tq, Tk)
+        preferred_element_type=jnp.float32)              # (G, Tq, Tk)
     if diag_reset:
         rows = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
@@ -123,26 +142,57 @@ def _drop_mask(shape, rate: float):
     return jnp.where(keep, 1.0 / keep_prob, 0.0)
 
 
+def _merge_inputs(q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref, oh_ref):
+    """Merge the (BB, H) leading block dims into one G = BB*H batch dim and
+    broadcast the per-batch-row tensors across heads."""
+    bb, h, tp, cp = q_ref.shape
+    g = bb * h
+    q = q_ref[...].reshape(g, tp, cp)
+    k = k_ref[...].reshape(g, tp, cp)
+    v = v_ref[...].reshape(g, tp, cp)
+    t = t_ref[...].reshape(g, tp, cp)
+    km = jnp.broadcast_to(km_ref[...], (bb, h, tp)).reshape(g, tp)
+    iv = jnp.broadcast_to(iv_ref[...], (bb, h, tp)).reshape(g, tp)
+    e_p = oh_ref.shape[-1]
+    oh = jnp.broadcast_to(oh_ref[...][:, None],
+                          (bb, h, tp, e_p)).reshape(g, tp, e_p)
+    return q, k, v, t, km, iv, oh
+
+
+def _block_drop_mask(seed0, bb: int, shape_per_row, rate: float):
+    """Per-BATCH-ROW seeded keep-masks, concatenated along the merged G dim.
+    Seeding by absolute row index makes the mask independent of the block
+    size, so forward and backward may use different BB."""
+    base = seed0 + pl.program_id(0) * bb
+    rows = []
+    for j in range(bb):
+        pltpu.prng_seed(base + j)
+        rows.append(_drop_mask(shape_per_row, rate))
+    return jnp.concatenate(rows, axis=0) if bb > 1 else rows[0]
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
                 oh_ref, wd_ref, bd_ref, wf_ref, sc_ref,
                 out_ref, lam_ref, *,
                 scale, causal, diag_reset, dropout_rate, t_real, dh,
                 num_events, ed_p, e_p):
-    q, k, v, t = q_ref[:], k_ref[:], v_ref[:], t_ref[:]
-    probs = _probs_block(q, k, km_ref[:][0], scale=scale,
-                         causal=causal, t_real=t_real)
+    bb, h, tp, cp = q_ref.shape
+    q, k, v, t, km, iv, oh = _merge_inputs(q_ref, k_ref, v_ref, t_ref,
+                                           km_ref, iv_ref, oh_ref)
+    probs = _probs_block(q, k, km, scale=scale, causal=causal, t_real=t_real)
     sel = _sel_matrix(num_events, dh, ed_p, e_p)
-    lam, _, _, _ = _intensity_block(probs, t, iv_ref[:][0], wd_ref[:],
+    lam, _, _, _ = _intensity_block(probs, t, iv, wd_ref[:],
                                     bd_ref[:], wf_ref[:], sel, sc_ref[:],
                                     dh=dh)
-    _, modulated = _modulation(lam, oh_ref[:], probs, diag_reset=diag_reset)
+    _, modulated = _modulation(lam, oh, probs, diag_reset=diag_reset)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        modulated = modulated * _drop_mask(modulated.shape, dropout_rate)
-    out_ref[:] = jax.lax.dot_general(
+        modulated = modulated * _block_drop_mask(
+            seed_ref[0], bb, (h, tp, tp), dropout_rate)
+    out = jax.lax.dot_general(
         modulated.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    lam_ref[:] = lam
+    out_ref[...] = out.reshape(bb, h, tp, cp)
+    lam_ref[...] = lam.reshape(bb, h, tp, e_p)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
@@ -160,30 +210,29 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         dwf_acc[:] = jnp.zeros_like(dwf_acc)
         dsc_acc[:] = jnp.zeros_like(dsc_acc)
 
-    q, k, v, t = q_ref[:], k_ref[:], v_ref[:], t_ref[:]
+    bb, h, tp, cp = q_ref.shape
+    q, k, v, t, km, iv, onehot = _merge_inputs(q_ref, k_ref, v_ref, t_ref,
+                                               km_ref, iv_ref, oh_ref)
     wd, bd, wf, sc = wd_ref[:], bd_ref[:], wf_ref[:], sc_ref[:]
-    onehot = oh_ref[:]
     # ---- recompute forward tile
-    probs = _probs_block(q, k, km_ref[:][0], scale=scale,
-                         causal=causal, t_real=t_real)
+    probs = _probs_block(q, k, km, scale=scale, causal=causal, t_real=t_real)
     sel = _sel_matrix(num_events, dh, ed_p, e_p)
-    lam, raw, sig, x = _intensity_block(probs, t, iv_ref[:][0], wd, bd, wf,
+    lam, raw, sig, x = _intensity_block(probs, t, iv, wd, bd, wf,
                                         sel, sc, dh=dh)
     intensity_qk, _ = _modulation(lam, onehot, probs, diag_reset=diag_reset)
 
-    go = go_ref[:]                                       # (H, Tp, Cp)
+    go = go_ref[...].reshape(bb * h, tp, cp)             # (G, Tp, Cp)
     # ---- out = (modulated * drop) @ v
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        drop = _drop_mask(probs.shape, dropout_rate)
+        drop = _block_drop_mask(seed_ref[0], bb, (h, tp, tp), dropout_rate)
     else:
         drop = None
     modulated = intensity_qk * probs
     dropped = modulated * drop if drop is not None else modulated
     cdt = v.dtype
-    dv_ref[:] = jax.lax.dot_general(
+    dv_ref[...] = jax.lax.dot_general(
         dropped.astype(cdt), go.astype(cdt), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).reshape(bb, h, tp, cp)
     dmod = jax.lax.dot_general(
         go.astype(cdt), v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # (H, Tq, Tk)
@@ -201,7 +250,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         dint, jnp.broadcast_to(onehot, dint.shape[:1] + onehot.shape[1:]),
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # (H, Tq, Ep)
-    dlam = dlam + gl_ref[:]                              # TPP-side cotangent
+    dlam = dlam + gl_ref[...].reshape(dlam.shape)        # TPP-side cotangent
     # ---- lam = s * softplus(raw / s), s = exp(scaling)
     s = jnp.exp(sc)[None, None, :]
     sig_r = jax.nn.sigmoid(raw / s)
@@ -237,9 +286,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     dprobs = dprobs + jax.lax.dot_general(
         dseq.astype(cdt), t, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    dt_ref[:] = jax.lax.dot_general(
+    dt_ref[...] = jax.lax.dot_general(
         probs.astype(cdt), dseq.astype(cdt), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).reshape(bb, h, tp, cp)
     # ---- softmax backward. Masked entries usually have probs == 0, but a
     # FULLY-masked row softmaxes to uniform (probs != 0); the forward's
     # where(mask, s, NEG) blocks gradient flow there, so zero dlogit on
@@ -249,17 +298,17 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     tp_ = dlogit.shape[-1]
     cols_m = jax.lax.broadcasted_iota(jnp.int32, (tp_, tp_), 1)
     rows_m = jax.lax.broadcasted_iota(jnp.int32, (tp_, tp_), 0)
-    valid = (km_ref[:][0][:, None, :] != 0) & (cols_m < t_real)[None]
+    valid = (km[:, None, :] != 0) & (cols_m < t_real)[None]
     if causal:
         valid = valid & (cols_m <= rows_m)[None]
     dlogit = jnp.where(valid, dlogit, 0.0)
     dlogit = dlogit * scale
-    dq_ref[:] = jax.lax.dot_general(
+    dq_ref[...] = jax.lax.dot_general(
         dlogit.astype(cdt), k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    dk_ref[:] = jax.lax.dot_general(
+        preferred_element_type=jnp.float32).reshape(bb, h, tp, cp)
+    dk_ref[...] = jax.lax.dot_general(
         dlogit.astype(cdt), q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).reshape(bb, h, tp, cp)
 
     @pl.when(bi == num_b - 1)
     def _store():
@@ -306,22 +355,31 @@ def _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p, cdt):
     return wdp, bdp, wfp, scp
 
 
-def _specs(b, h, tp, cp, e_p, ed_p):
+def _specs(bb, h, tp, cp, e_p, ed_p):
     """in_specs shared by fwd and bwd (minus the grad inputs)."""
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),             # seed (1,)
-        pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),   # q
-        pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),   # k
-        pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),   # v
-        pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),   # t
-        pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0)),          # key_mask
-        pl.BlockSpec((1, 1, tp), lambda i: (i, 0, 0)),          # intervals
-        pl.BlockSpec((1, tp, e_p), lambda i: (i, 0, 0)),        # onehot
+        pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),  # q
+        pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),  # k
+        pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),  # v
+        pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),  # t
+        pl.BlockSpec((bb, 1, tp), lambda i: (i, 0, 0)),         # key_mask
+        pl.BlockSpec((bb, 1, tp), lambda i: (i, 0, 0)),         # intervals
+        pl.BlockSpec((bb, tp, e_p), lambda i: (i, 0, 0)),       # onehot
         pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),             # wd
         pl.BlockSpec((ed_p,), lambda i: (0,)),                  # bd
         pl.BlockSpec((ed_p,), lambda i: (0,)),                  # wf
         pl.BlockSpec((e_p,), lambda i: (0,)),                   # scaling
     ]
+
+
+# VMEM budgets for the auto block-size chooser: the forward holds ~3
+# (G*Tp, EDp) fp32 temporaries live (z, sig, sig*wf), the recompute
+# backward ~6 (those plus dsw, dz, dx products). v5e VMEM is 128MB;
+# leave headroom for weights, accumulators and double-buffered blocks.
+_FWD_LIVE, _FWD_BUDGET = 3, 56 * 1024 * 1024
+_BWD_LIVE, _BWD_BUDGET = 6, 72 * 1024 * 1024
+_VMEM_LIMIT = 110 * 1024 * 1024
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
@@ -352,23 +410,20 @@ def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
     wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p,
                                       e_p, q.dtype)
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+    bb = _auto_bb(b, h, tp, ed_p, _FWD_LIVE, _FWD_BUDGET)
 
-    def kernel(seed_r, q_r, k_r, v_r, t_r, km_r, iv_r, oh_r, wd_r, bd_r,
-               wf_r, sc_r, out_r, lam_r):
-        _fwd_kernel(seed_r, _R3(q_r), _R3(k_r), _R3(v_r), _R3(t_r),
-                    km_r, iv_r, _R2(oh_r), wd_r, bd_r, wf_r, sc_r,
-                    _R3(out_r), _R3(lam_r),
-                    scale=1.0 / dh ** 0.5, causal=causal,
-                    diag_reset=diag_reset, dropout_rate=dropout_rate,
-                    t_real=t_real, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p)
+    kernel = functools.partial(
+        _fwd_kernel, scale=1.0 / dh ** 0.5, causal=causal,
+        diag_reset=diag_reset, dropout_rate=dropout_rate,
+        t_real=t_real, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p)
 
     out, lam = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=_specs(b, h, tp, cp, e_p, ed_p),
+        grid=(b // bb,),
+        in_specs=_specs(bb, h, tp, cp, e_p, ed_p),
         out_specs=[
-            pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, tp, e_p), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, h, tp, e_p), lambda i: (i, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
@@ -376,39 +431,12 @@ def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed, qp, kp, vp, tpj, km, iv, oh, wdp, bdp, wfp, scp)
     res = (q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
            dropout_seed)
     return (out[:, :, :t_real, :dh], lam[:, :, :t_real, :e]), res
-
-
-class _R3:
-    """Present a (1, h, tp, c) block ref as (h, tp, c)."""
-
-    def __init__(self, ref):
-        self._ref = ref
-
-    def __getitem__(self, idx):
-        assert idx == slice(None)
-        return self._ref[0]
-
-    def __setitem__(self, idx, val):
-        assert idx == slice(None)
-        self._ref[0] = val
-
-
-class _R2:
-    """Present a (1, tp, e) block ref as (1, tp, e) -- passthrough with
-    leading dim kept (broadcast over heads happens in the math)."""
-
-    def __init__(self, ref):
-        self._ref = ref
-
-    def __getitem__(self, idx):
-        assert idx == slice(None)
-        return self._ref[...]
 
 
 def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
@@ -426,34 +454,27 @@ def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
     glp = jnp.pad(gl.astype(jnp.float32),
                   ((0, 0), (0, 0), (0, tp - t_real), (0, e_p - e)))
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+    bb = _auto_bb(b, h, tp, ed_p, _BWD_LIVE, _BWD_BUDGET)
 
-    def kernel(seed_r, q_r, k_r, v_r, t_r, km_r, iv_r, oh_r, wd_r, bd_r,
-               wf_r, sc_r, go_r, gl_r, dq_r, dk_r, dv_r, dt_r, dwd_r,
-               dbd_r, dwf_r, dsc_r, dwd_a, dbd_a, dwf_a, dsc_a):
-        _bwd_kernel(seed_r, _R3(q_r), _R3(k_r), _R3(v_r), _R3(t_r),
-                    km_r, iv_r, _R2(oh_r), wd_r, bd_r, wf_r, sc_r,
-                    _R3(go_r), _R3(gl_r),
-                    _R3(dq_r), _R3(dk_r), _R3(dv_r), _R3(dt_r),
-                    dwd_r, dbd_r, dwf_r, dsc_r,
-                    dwd_a, dbd_a, dwf_a, dsc_a,
-                    scale=1.0 / dh ** 0.5, causal=causal,
-                    diag_reset=diag_reset, dropout_rate=dropout_rate,
-                    t_real=t_real, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p,
-                    num_b=b)
+    kernel = functools.partial(
+        _bwd_kernel, scale=1.0 / dh ** 0.5, causal=causal,
+        diag_reset=diag_reset, dropout_rate=dropout_rate,
+        t_real=t_real, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p,
+        num_b=b // bb)
 
-    in_specs = _specs(b, h, tp, cp, e_p, ed_p) + [
-        pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),   # go
-        pl.BlockSpec((1, h, tp, e_p), lambda i: (i, 0, 0, 0)),  # gl
+    in_specs = _specs(bb, h, tp, cp, e_p, ed_p) + [
+        pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),   # go
+        pl.BlockSpec((bb, h, tp, e_p), lambda i: (i, 0, 0, 0)),  # gl
     ]
     outs = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, h, tp, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),
             pl.BlockSpec((1, ed_p), lambda i: (0, 0)),
             pl.BlockSpec((1, ed_p), lambda i: (0, 0)),
@@ -478,7 +499,7 @@ def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
             # the recompute backward holds z/sig/dsw/dz tiles + weight
             # accumulators live at once; the 16MB scoped default is a
             # compiler cap, not the physical VMEM
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed, qp, kp, vp, tpj, km, iv, oh, wdp, bdp, wfp, scp, gop, glp)
     dq, dk, dv, dt, dwd, dbd, dwf, dsc = outs

@@ -97,9 +97,9 @@ def bench(name, fn):
     seed = jnp.zeros((), jnp.int32)
 
     def loss(q, k, v, t, wd, bd, w, sc):
-        o = M.mau_attention(q, k, v, t, km, iv, oh, wd, bd, w, sc, seed,
-                            False, True, 0.0)
-        return jnp.sum(o.astype(jnp.float32) ** 2)
+        o, lam = M.mau_attention(q, k, v, t, km, iv, oh, wd, bd, w, sc, seed,
+                                 False, True, 0.0)
+        return jnp.sum(o.astype(jnp.float32) ** 2) + jnp.sum(lam)
 
     step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5, 6, 7)))
     g = step(q, k, v, t, wd, bd, w, sc)

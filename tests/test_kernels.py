@@ -267,6 +267,45 @@ def test_mau_attention_grads(rng, causal, diag):
                                    rtol=1e-4, atol=1e-5, err_msg=name)
 
 
+@pytest.mark.parametrize("causal,diag", [(True, False), (False, True)])
+def test_mau_attention_block_batched(rng, causal, diag):
+    """b=8 triggers the multi-batch-row-per-program path (auto BB > 1):
+    forward + all grads must match the reference exactly as at BB=1."""
+    from easydgl_tpu.kernels import mau_attention as MA
+    # at these tiny shapes the chooser must actually pick a block > 1
+    assert MA._auto_bb(8, 2, 8, 128, MA._FWD_LIVE, MA._FWD_BUDGET) == 8
+    q, k, v, t, km, iv, oh, wd, bd, w, sc = _mau_data(rng, b=8)
+
+    ok, lk = MA.mau_attention(q, k, v, t, km, iv, oh, wd, bd, w, sc,
+                              0, causal, diag, 0.0)
+    orf, lrf = MA.mau_attention_reference(q, k, v, t, km, iv, oh, wd, bd,
+                                          w, sc, causal=causal,
+                                          diag_reset=diag)
+    np.testing.assert_allclose(np.asarray(ok), np.asarray(orf),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lk), np.asarray(lrf),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_k(a):
+        o, l = MA.mau_attention(a[0], a[1], a[2], a[3], km, iv, oh,
+                                a[4], a[5], a[6], a[7], 0, causal, diag, 0.0)
+        return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(l))
+
+    def loss_r(a):
+        o, l = MA.mau_attention_reference(a[0], a[1], a[2], a[3], km, iv, oh,
+                                          a[4], a[5], a[6], a[7],
+                                          causal=causal, diag_reset=diag)
+        return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(l))
+
+    a = (q, k, v, t, wd, bd, w, sc)
+    gk = jax.grad(loss_k)(a)
+    gr = jax.grad(loss_r)(a)
+    for x, y, name in zip(gk, gr, ("dq", "dk", "dv", "dt", "dwd", "dbd",
+                                   "dw", "dscaling")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
 @pytest.mark.parametrize("bimau", [False, True])
 def test_mau_module_fused_equals_xla(rng, bimau):
     """MAU/BiMAU module: intensity_impl='fused' (one Pallas kernel) must
