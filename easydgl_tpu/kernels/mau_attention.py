@@ -20,13 +20,21 @@ backward regenerates the identical mask without materializing it.
 
 Grid: one program per BLOCK of batch rows (auto-sized: the largest of
 8/4/2/1 rows whose working set fits VMEM — 4 fwd / 2 bwd at the flagship
-shape). Each program processes all H heads of its rows with the leading
-(rows, heads) dims merged, so the dominant matmuls see rows*H*T-row
-operands and per-program overhead is amortized; per-batch tensors (key
-mask, intervals, mark one-hots) are blocked (BB, T, ...) without head
-broadcasting in HBM. Dropout is seeded PER BATCH ROW (seed + absolute row
-index), so the backward regenerates identical masks even at a different
-block size.
+shape). Two packing levels feed the MXU full tiles:
+
+* BATCH BLOCKING — each program processes all H heads of BB rows with the
+  leading (rows, heads) dims merged, so the big intensity matmuls see
+  BB*H*T-row operands and per-program overhead is amortized.
+* TILE PACKING — p = 128/Tp heads are packed per (p*Tp)-row attention
+  operand (a byte-identical XLA reshape in ``_prep``), turning the tiny
+  per-head (Tp, Tp) QK^T/modulation/@V matmuls into near-full 128-wide
+  MXU tiles; cross-head tile entries are masked to PAD_NEG so their
+  softmax probabilities are EXACTLY zero and every contraction over keys
+  ignores them (forward and backward).
+
+Dropout is seeded PER BATCH ROW (seed + absolute row index) with a mask
+shape that depends only on (H, Tp), so the backward regenerates identical
+masks even at a different batch block size.
 
 ``mau_attention_reference`` is the jnp parity implementation (same contract,
 materialized) used by the kernel parity tests.
@@ -72,45 +80,70 @@ def _sel_matrix(num_events: int, dh: int, ed_p: int, e_p: int):
     return ok.astype(jnp.float32)
 
 
-def _probs_block(q, k, key_mask, *, scale, causal, t_real):
-    """(H, Tp, Tp) masked softmax probabilities for one batch row."""
+def _pack_structure(n: int, tp: int, t_real: int):
+    """(n, n) bool: col c is a REAL key position for query row r under
+    packing — same sequence block (p blocks share one tile) and within the
+    real length. Everything outside gets PAD_NEG (strictly below the
+    key-mask constant NEG), so off-block probs are EXACTLY zero (exp
+    underflow) and a fully-masked REAL row still softmaxes uniform over
+    its own block's real columns — matching the XLA path."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    return (cols // tp == rows // tp) & (cols % tp < t_real)
+
+
+def _probs_block(q, k, key_mask, *, scale, causal, t_real, tp):
+    """(Gp, p*Tp, p*Tp) masked softmax probabilities."""
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     s = s * scale
-    h, t, _ = s.shape
-    s = jnp.where(key_mask[:, None, :] != 0, s, NEG)     # (1, Tp) bcast
-    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    n = s.shape[-1]
+    s = jnp.where(key_mask[:, None, :] != 0, s, NEG)
     if causal:
-        s = jnp.where((cols <= rows)[None], s, NEG)
-    s = jnp.where((cols < t_real)[None], s, PAD_NEG)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        s = jnp.where((cols % tp <= rows % tp)[None], s, NEG)
+    s = jnp.where(_pack_structure(n, tp, t_real)[None], s, PAD_NEG)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _intensity_block(probs, t, iv, wd, bd, wf, sel, scaling, *, dh):
+def _intensity_block(probs, t, iv, wd, bd, wf, sel_w, scaling, *, dh):
     """seq_units -> sigmoid head -> scaled softplus intensities.
 
-    Returns (lam (H,Tp,Ep), raw (H,Tp,Ep), sig (H,Tp,EDp), x (H,Tp,Cp)).
-    Matmuls run in the weight/input dtype (bf16 in mixed-precision mode,
-    the MXU fast path) with fp32 accumulation; softmax/sigmoid/softplus
-    stay fp32.
+    ``sel_w`` is the wf-FOLDED selector (``_sel_matrix() * wf[:, None]``):
+    raw = (sig*wf) @ sel == sig @ (wf*sel), and folding removes a full
+    (rows, EDp) VPU multiply pass from the forward AND the backward's
+    recompute — the elementwise passes over the (rows, EDp) activation,
+    not the matmuls, dominate this block's time on the VPU.
+
+    Returns (lam (G,Tp,Ep), raw (G,Tp,Ep), sig (G*Tp,EDp) in the compute
+    dtype, x (G,Tp,Cp)). Matmuls run in the weight/input dtype (bf16 in
+    mixed-precision mode, the MXU fast path) with fp32 accumulation; the
+    sigmoid is EVALUATED in fp32 and stored once in the compute dtype
+    (exactly the rounding the old (sig*wf).astype(cdt) applied).
     """
     cdt = t.dtype
     seq_units = jax.lax.dot_general(
         probs.astype(cdt), t, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (H, Tp, Cp)
+        preferred_element_type=jnp.float32)              # (G, Tp, Cp)
     hh, tp, cp = seq_units.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, cp), 1)
     x = seq_units + jnp.where((col == dh)[None], 1.0, 0.0) * iv[:, :, None]
-    # collapse (H, Tp) -> rows: ONE large MXU matmul instead of H batched
+    # collapse (G, Tp) -> rows: ONE large MXU matmul instead of G batched
     # small ones (Tp is sublane-aligned so the reshape is layout-free)
     x2 = x.reshape(hh * tp, cp)
+    # the (rows, EDp) intermediates are the kernel's VMEM-bandwidth hot
+    # spot (2.1GB-equivalent per fp32 pass at the flagship shape). Mosaic
+    # requires 32-bit matmul ACCUMULATORS, so z stays fp32 out of the MXU;
+    # the sigmoid is evaluated in fp32 and stored ONCE in the compute
+    # dtype (the same rounding the pre-fold (sig*wf).astype(cdt) applied),
+    # keeping every later pass over (rows, EDp) in bf16 in mixed mode.
     z = jax.lax.dot(x2.astype(cdt), wd,
                     preferred_element_type=jnp.float32)
-    sig = jax.nn.sigmoid(z + bd[None, :])                # (H*Tp, EDp)
-    raw2 = jax.lax.dot((sig * wf[None, :]).astype(cdt), sel.astype(cdt),
+    sig = jax.nn.sigmoid(z + bd[None, :]).astype(cdt)    # (G*Tp, EDp) cdt
+    raw2 = jax.lax.dot(sig, sel_w.astype(cdt),
                        preferred_element_type=jnp.float32)
     raw = raw2.reshape(hh, tp, raw2.shape[-1])
     s = jnp.exp(scaling)[None, None, :]                  # (1, 1, Ep)
@@ -142,27 +175,47 @@ def _drop_mask(shape, rate: float):
     return jnp.where(keep, 1.0 / keep_prob, 0.0)
 
 
+def _pack_factor(h: int, tp: int) -> int:
+    """Sequence-blocks packed per MXU tile: the largest divisor of H with
+    p*Tp <= 128. Packing p consecutive G-rows (= p heads of one batch row)
+    into one (p*Tp)-row operand turns the tiny per-head (Tp, Tp) attention
+    matmuls into near-full MXU tiles; off-diagonal (cross-head) blocks are
+    masked to PAD_NEG so their softmax probs are EXACTLY zero and every
+    downstream contraction over keys ignores them. p depends only on
+    (H, Tp) — never on the batch block size — so dropout masks regenerate
+    identically in forward and backward."""
+    p = 1
+    for cand in (2, 4, 8):
+        if h % cand == 0 and cand * tp <= 128:
+            p = cand
+    return p
+
+
 def _merge_inputs(q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref, oh_ref):
-    """Merge the (BB, H) leading block dims into one G = BB*H batch dim and
-    broadcast the per-batch-row tensors across heads."""
-    bb, h, tp, cp = q_ref.shape
-    g = bb * h
-    q = q_ref[...].reshape(g, tp, cp)
-    k = k_ref[...].reshape(g, tp, cp)
-    v = v_ref[...].reshape(g, tp, cp)
-    t = t_ref[...].reshape(g, tp, cp)
-    km = jnp.broadcast_to(km_ref[...], (bb, h, tp)).reshape(g, tp)
-    iv = jnp.broadcast_to(iv_ref[...], (bb, h, tp)).reshape(g, tp)
+    """Merge the (BB, H/p) leading block dims into Gp = BB*H/p and
+    broadcast the per-batch-row tensors across head groups. The p-packing
+    itself happens OUTSIDE the kernel (``_prep``) as a free XLA reshape —
+    in-kernel reshapes may only merge LEADING dims (Mosaic rejects shape
+    casts that touch the sublane/lane dims)."""
+    bb, hp, n, cp = q_ref.shape
+    g = bb * hp
+    q = q_ref[...].reshape(g, n, cp)
+    k = k_ref[...].reshape(g, n, cp)
+    v = v_ref[...].reshape(g, n, cp)
+    t = t_ref[...].reshape(g, n, cp)
+    km = jnp.broadcast_to(km_ref[...], (bb, hp, n)).reshape(g, n)
+    iv = jnp.broadcast_to(iv_ref[...], (bb, hp, n)).reshape(g, n)
     e_p = oh_ref.shape[-1]
     oh = jnp.broadcast_to(oh_ref[...][:, None],
-                          (bb, h, tp, e_p)).reshape(g, tp, e_p)
+                          (bb, hp, n, e_p)).reshape(g, n, e_p)
     return q, k, v, t, km, iv, oh
 
 
 def _block_drop_mask(seed0, bb: int, shape_per_row, rate: float):
     """Per-BATCH-ROW seeded keep-masks, concatenated along the merged G dim.
     Seeding by absolute row index makes the mask independent of the block
-    size, so forward and backward may use different BB."""
+    size, so forward and backward may use different BB. ``shape_per_row``
+    is the PACKED (H/p, p*Tp, p*Tp) shape — a function of (H, Tp) only."""
     base = seed0 + pl.program_id(0) * bb
     rows = []
     for j in range(bb):
@@ -174,32 +227,34 @@ def _block_drop_mask(seed0, bb: int, shape_per_row, rate: float):
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
                 oh_ref, wd_ref, bd_ref, wf_ref, sc_ref,
                 out_ref, lam_ref, *,
-                scale, causal, diag_reset, dropout_rate, t_real, dh,
+                scale, causal, diag_reset, dropout_rate, t_real, tp, dh,
                 num_events, ed_p, e_p):
-    bb, h, tp, cp = q_ref.shape
+    bb, hp, n, cp = q_ref.shape
     q, k, v, t, km, iv, oh = _merge_inputs(q_ref, k_ref, v_ref, t_ref,
                                            km_ref, iv_ref, oh_ref)
-    probs = _probs_block(q, k, km, scale=scale, causal=causal, t_real=t_real)
-    sel = _sel_matrix(num_events, dh, ed_p, e_p)
+    probs = _probs_block(q, k, km, scale=scale, causal=causal,
+                         t_real=t_real, tp=tp)
+    wf = wf_ref[:]
+    sel_w = _sel_matrix(num_events, dh, ed_p, e_p) * wf[:, None]
     lam, _, _, _ = _intensity_block(probs, t, iv, wd_ref[:],
-                                    bd_ref[:], wf_ref[:], sel, sc_ref[:],
+                                    bd_ref[:], wf, sel_w, sc_ref[:],
                                     dh=dh)
     _, modulated = _modulation(lam, oh, probs, diag_reset=diag_reset)
     if dropout_rate > 0.0:
         modulated = modulated * _block_drop_mask(
-            seed_ref[0], bb, (h, tp, tp), dropout_rate)
+            seed_ref[0], bb, (hp, n, n), dropout_rate)
     out = jax.lax.dot_general(
         modulated.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    out_ref[...] = out.reshape(bb, h, tp, cp)
-    lam_ref[...] = lam.reshape(bb, h, tp, e_p)
+    out_ref[...] = out.reshape(bb, hp, n, cp)
+    lam_ref[...] = lam.reshape(bb, hp, n, e_p)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
                 oh_ref, wd_ref, bd_ref, wf_ref, sc_ref, go_ref, gl_ref,
                 dq_ref, dk_ref, dv_ref, dt_ref, dwd_ref, dbd_ref, dwf_ref,
                 dsc_ref, dwd_acc, dbd_acc, dwf_acc, dsc_acc, *,
-                scale, causal, diag_reset, dropout_rate, t_real, dh,
+                scale, causal, diag_reset, dropout_rate, t_real, tp, dh,
                 num_events, ed_p, e_p, num_b):
     bi = pl.program_id(0)
 
@@ -210,21 +265,22 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         dwf_acc[:] = jnp.zeros_like(dwf_acc)
         dsc_acc[:] = jnp.zeros_like(dsc_acc)
 
-    bb, h, tp, cp = q_ref.shape
+    bb, hp, n, cp = q_ref.shape
     q, k, v, t, km, iv, onehot = _merge_inputs(q_ref, k_ref, v_ref, t_ref,
                                                km_ref, iv_ref, oh_ref)
     wd, bd, wf, sc = wd_ref[:], bd_ref[:], wf_ref[:], sc_ref[:]
     # ---- recompute forward tile
-    probs = _probs_block(q, k, km, scale=scale, causal=causal, t_real=t_real)
+    probs = _probs_block(q, k, km, scale=scale, causal=causal,
+                         t_real=t_real, tp=tp)
     sel = _sel_matrix(num_events, dh, ed_p, e_p)
     lam, raw, sig, x = _intensity_block(probs, t, iv, wd, bd, wf,
-                                        sel, sc, dh=dh)
+                                        sel * wf[:, None], sc, dh=dh)
     intensity_qk, _ = _modulation(lam, onehot, probs, diag_reset=diag_reset)
 
-    go = go_ref[...].reshape(bb * h, tp, cp)             # (G, Tp, Cp)
+    go = go_ref[...].reshape(bb * hp, n, cp)             # (Gp, n, Cp)
     # ---- out = (modulated * drop) @ v
     if dropout_rate > 0.0:
-        drop = _block_drop_mask(seed_ref[0], bb, (h, tp, tp), dropout_rate)
+        drop = _block_drop_mask(seed_ref[0], bb, (hp, n, n), dropout_rate)
     else:
         drop = None
     modulated = intensity_qk * probs
@@ -232,7 +288,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     cdt = v.dtype
     dv_ref[...] = jax.lax.dot_general(
         dropped.astype(cdt), go.astype(cdt), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, h, tp, cp)
+        preferred_element_type=jnp.float32).reshape(bb, hp, n, cp)
     dmod = jax.lax.dot_general(
         go.astype(cdt), v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # (H, Tq, Tk)
@@ -240,11 +296,12 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         dmod = dmod * drop
     dint = dmod * probs                                  # d/d intensity_qk
     dprobs = dmod * intensity_qk
-    # ---- intensity_qk = lam @ onehot^T (diag entries overwritten -> no grad)
+    # ---- intensity_qk = lam @ onehot^T (diag entries overwritten -> no
+    # grad). Under packing the (i, i) diagonal is exactly the union of the
+    # per-block diagonals.
     if diag_reset:
-        tp = dint.shape[-1]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         dint = jnp.where((rows == cols)[None], 0.0, dint)
     dlam = jax.lax.dot_general(
         dint, jnp.broadcast_to(onehot, dint.shape[:1] + onehot.shape[1:]),
@@ -259,15 +316,18 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     dsc_acc[:, :] += jnp.sum(
         dlam * (jax.nn.softplus(raw / s) - sig_r * raw / s) * s,
         axis=(0, 1))[None, :]
-    # ---- raw = (sig * wf) @ sel
+    # ---- raw = (sig * wf) @ sel. As in the forward, every (rows, EDp)
+    # intermediate stays in the compute dtype (bf16 in mixed precision) to
+    # halve the VMEM-bandwidth passes; weight-grad ACCUMULATION is fp32.
     hh, tp_q, e_pp = draw.shape
     draw2 = draw.reshape(hh * tp_q, e_pp)
     dsw = jax.lax.dot_general(
         draw2.astype(cdt), sel.astype(cdt), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (H*Tq, EDp)
-    dwf_acc[:, :] += jnp.sum(dsw * sig, axis=0)[None, :]
-    dsig = dsw * wf[None, :]
-    dz = dsig * sig * (1.0 - sig)                        # (H*Tq, EDp)
+        preferred_element_type=jnp.float32).astype(cdt)  # (H*Tq, EDp)
+    dwf_acc[:, :] += jnp.sum((dsw * sig).astype(jnp.float32),
+                             axis=0)[None, :]
+    dsig = dsw * wf.astype(cdt)[None, :]
+    dz = dsig * sig * (1.0 - sig)                        # (H*Tq, EDp) cdt
     # ---- z = x @ wd + bd (rows collapsed: one MXU matmul per program)
     dx2 = jax.lax.dot_general(
         dz.astype(cdt), wd, (((1,), (1,)), ((), ())),
@@ -277,10 +337,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     dwd_acc[:, :] += jax.lax.dot_general(
         x2.astype(cdt), dz.astype(cdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dbd_acc[:, :] += jnp.sum(dz, axis=0)[None, :]
+    dbd_acc[:, :] += jnp.sum(dz.astype(jnp.float32), axis=0)[None, :]
     # ---- x = seq_units + iv (interval column is a non-diff input)
-    tp, cp = dx.shape[1], dx.shape[2]
-    col = jax.lax.broadcasted_iota(jnp.int32, (tp, cp), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, cp), 1)
     dseq = jnp.where((col == dh)[None], 0.0, dx)
     # ---- seq_units = probs @ t
     dprobs = dprobs + jax.lax.dot_general(
@@ -288,27 +347,27 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         preferred_element_type=jnp.float32)
     dt_ref[...] = jax.lax.dot_general(
         probs.astype(cdt), dseq.astype(cdt), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, h, tp, cp)
+        preferred_element_type=jnp.float32).reshape(bb, hp, n, cp)
     # ---- softmax backward. Masked entries usually have probs == 0, but a
     # FULLY-masked row softmaxes to uniform (probs != 0); the forward's
     # where(mask, s, NEG) blocks gradient flow there, so zero dlogit on
-    # every masked entry explicitly.
+    # every masked entry explicitly (off-block packed entries have
+    # probs == 0 exactly, so they contribute nothing either way).
     dlogit = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
                                        keepdims=True))
-    tp_ = dlogit.shape[-1]
-    cols_m = jax.lax.broadcasted_iota(jnp.int32, (tp_, tp_), 1)
-    rows_m = jax.lax.broadcasted_iota(jnp.int32, (tp_, tp_), 0)
-    valid = (km[:, None, :] != 0) & (cols_m < t_real)[None]
+    cols_m = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rows_m = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    valid = (km[:, None, :] != 0) & _pack_structure(n, tp, t_real)[None]
     if causal:
-        valid = valid & (cols_m <= rows_m)[None]
+        valid = valid & (cols_m % tp <= rows_m % tp)[None]
     dlogit = jnp.where(valid, dlogit, 0.0)
     dlogit = dlogit * scale
     dq_ref[...] = jax.lax.dot_general(
         dlogit.astype(cdt), k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, h, tp, cp)
+        preferred_element_type=jnp.float32).reshape(bb, hp, n, cp)
     dk_ref[...] = jax.lax.dot_general(
         dlogit.astype(cdt), q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, h, tp, cp)
+        preferred_element_type=jnp.float32).reshape(bb, hp, n, cp)
 
     @pl.when(bi == num_b - 1)
     def _store():
@@ -319,6 +378,14 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
 
 
 def _prep(cfg_shapes, q, k, v, t, key_mask, intervals, onehot):
+    """Pad to TPU tiles AND pre-pack p heads per (p*Tp)-row MXU tile.
+
+    The packing reshape (B, H, Tp, Cp) -> (B, H/p, p*Tp, Cp) is byte-
+    identical in row-major HBM (free for XLA); doing it HERE keeps the
+    in-kernel reshapes to leading-dim merges, which is all Mosaic's layout
+    inference supports. The per-batch-row tensors (key mask, intervals,
+    one-hots) are tiled p times along the sequence axis so every packed
+    block sees its row's values."""
     (b, h, t_real, dh), e = cfg_shapes
     tp = max(_round_up(t_real, 8), 8)
     # contraction dims only need sublane (8) alignment; padding to 128 would
@@ -326,22 +393,28 @@ def _prep(cfg_shapes, q, k, v, t, key_mask, intervals, onehot):
     cp = _round_up(dh + 1, 8)
     e_p = _round_up(e, 128)
     ed_p = _round_up(e * dh, 128)
+    p = _pack_factor(h, tp)
+    n = p * tp
 
     def pad4(xx):
         # preserve the caller's dtype: bf16 inputs keep the MXU fast path
-        return jnp.pad(xx, ((0, 0), (0, 0), (0, tp - t_real),
-                            (0, cp - xx.shape[-1])))
+        xx = jnp.pad(xx, ((0, 0), (0, 0), (0, tp - t_real),
+                          (0, cp - xx.shape[-1])))
+        return xx.reshape(b, h // p, n, cp)
 
     qp, kp, vp, tp_ = pad4(q), pad4(k), pad4(v), pad4(t)
-    # (B, 1, Tp): TPU block shapes need the last two dims to equal the
-    # array dims (or be (8,128)-divisible); 2D (1, Tp) blocks are rejected
+    # (B, 1, n): TPU block shapes need the last two dims to equal the
+    # array dims (or be (8,128)-divisible); 2D (1, n) blocks are rejected
     km = jnp.pad(key_mask.astype(jnp.float32),
-                 ((0, 0), (0, tp - t_real)))[:, None, :]
+                 ((0, 0), (0, tp - t_real)))
     iv = jnp.pad(intervals.astype(jnp.float32),
-                 ((0, 0), (0, tp - t_real)))[:, None, :]
+                 ((0, 0), (0, tp - t_real)))
+    km = jnp.tile(km, (1, p))[:, None, :]
+    iv = jnp.tile(iv, (1, p))[:, None, :]
     oh = jnp.pad(onehot.astype(jnp.float32),
                  ((0, 0), (0, tp - t_real), (0, e_p - e)))
-    return (qp, kp, vp, tp_, km, iv, oh), (tp, cp, e_p, ed_p)
+    oh = jnp.tile(oh, (1, p, 1))
+    return (qp, kp, vp, tp_, km, iv, oh), (tp, cp, e_p, ed_p, p)
 
 
 def _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p, cdt):
@@ -355,17 +428,18 @@ def _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p, cdt):
     return wdp, bdp, wfp, scp
 
 
-def _specs(bb, h, tp, cp, e_p, ed_p):
-    """in_specs shared by fwd and bwd (minus the grad inputs)."""
+def _specs(bb, hp, n, cp, e_p, ed_p):
+    """in_specs shared by fwd and bwd (minus the grad inputs); hp = H/p,
+    n = p*Tp are the PACKED dims."""
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),             # seed (1,)
-        pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),  # q
-        pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),  # k
-        pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),  # v
-        pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),  # t
-        pl.BlockSpec((bb, 1, tp), lambda i: (i, 0, 0)),         # key_mask
-        pl.BlockSpec((bb, 1, tp), lambda i: (i, 0, 0)),         # intervals
-        pl.BlockSpec((bb, tp, e_p), lambda i: (i, 0, 0)),       # onehot
+        pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),  # q
+        pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),  # k
+        pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),  # v
+        pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),  # t
+        pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0)),          # key_mask
+        pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0)),          # intervals
+        pl.BlockSpec((bb, n, e_p), lambda i: (i, 0, 0)),        # onehot
         pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),             # wd
         pl.BlockSpec((ed_p,), lambda i: (0,)),                  # bd
         pl.BlockSpec((ed_p,), lambda i: (0,)),                  # wf
@@ -405,8 +479,9 @@ def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
              dropout_seed, causal, diag_reset, dropout_rate, interpret):
     b, h, t_real, dh = q.shape
     e = w.shape[0]
-    (qp, kp, vp, tpj, km, iv, oh), (tp, cp, e_p, ed_p) = _prep(
+    (qp, kp, vp, tpj, km, iv, oh), (tp, cp, e_p, ed_p, p) = _prep(
         ((b, h, t_real, dh), e), q, k, v, t, key_mask, intervals, onehot)
+    hp, n = h // p, p * tp
     wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p,
                                       e_p, q.dtype)
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
@@ -415,19 +490,19 @@ def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
     kernel = functools.partial(
         _fwd_kernel, scale=1.0 / dh ** 0.5, causal=causal,
         diag_reset=diag_reset, dropout_rate=dropout_rate,
-        t_real=t_real, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p)
+        t_real=t_real, tp=tp, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p)
 
     out, lam = pl.pallas_call(
         kernel,
         grid=(b // bb,),
-        in_specs=_specs(bb, h, tp, cp, e_p, ed_p),
+        in_specs=_specs(bb, hp, n, cp, e_p, ed_p),
         out_specs=[
-            pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, h, tp, e_p), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, n, e_p), lambda i: (i, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, tp, e_p), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, n, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, n, e_p), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
@@ -436,6 +511,8 @@ def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
     )(seed, qp, kp, vp, tpj, km, iv, oh, wdp, bdp, wfp, scp)
     res = (q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
            dropout_seed)
+    out = out.reshape(b, h, tp, cp)
+    lam = lam.reshape(b, h, tp, e_p)
     return (out[:, :, :t_real, :dh], lam[:, :, :t_real, :e]), res
 
 
@@ -445,46 +522,49 @@ def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
     go, gl = grads
     b, h, t_real, dh = q.shape
     e = w.shape[0]
-    (qp, kp, vp, tpj, km, iv, oh), (tp, cp, e_p, ed_p) = _prep(
+    (qp, kp, vp, tpj, km, iv, oh), (tp, cp, e_p, ed_p, p) = _prep(
         ((b, h, t_real, dh), e), q, k, v, t, key_mask, intervals, onehot)
+    hp, n = h // p, p * tp
     wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p,
                                       e_p, q.dtype)
     gop = jnp.pad(go.astype(jnp.float32),
-                  ((0, 0), (0, 0), (0, tp - t_real), (0, cp - dh)))
+                  ((0, 0), (0, 0), (0, tp - t_real), (0, cp - dh))
+                  ).reshape(b, hp, n, cp)
     glp = jnp.pad(gl.astype(jnp.float32),
-                  ((0, 0), (0, 0), (0, tp - t_real), (0, e_p - e)))
+                  ((0, 0), (0, 0), (0, tp - t_real), (0, e_p - e))
+                  ).reshape(b, hp, n, e_p)
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
     bb = _auto_bb(b, h, tp, ed_p, _BWD_LIVE, _BWD_BUDGET)
 
     kernel = functools.partial(
         _bwd_kernel, scale=1.0 / dh ** 0.5, causal=causal,
         diag_reset=diag_reset, dropout_rate=dropout_rate,
-        t_real=t_real, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p,
+        t_real=t_real, tp=tp, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p,
         num_b=b // bb)
 
-    in_specs = _specs(bb, h, tp, cp, e_p, ed_p) + [
-        pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),   # go
-        pl.BlockSpec((bb, h, tp, e_p), lambda i: (i, 0, 0, 0)),  # gl
+    in_specs = _specs(bb, hp, n, cp, e_p, ed_p) + [
+        pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),   # go
+        pl.BlockSpec((bb, hp, n, e_p), lambda i: (i, 0, 0, 0)),  # gl
     ]
     outs = pl.pallas_call(
         kernel,
         grid=(b // bb,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, h, tp, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),
             pl.BlockSpec((1, ed_p), lambda i: (0, 0)),
             pl.BlockSpec((1, ed_p), lambda i: (0, 0)),
             pl.BlockSpec((1, e_p), lambda i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, tp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, n, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, n, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, n, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, n, cp), jnp.float32),
             jax.ShapeDtypeStruct((cp, ed_p), jnp.float32),
             jax.ShapeDtypeStruct((1, ed_p), jnp.float32),
             jax.ShapeDtypeStruct((1, ed_p), jnp.float32),
@@ -505,6 +585,7 @@ def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
     dq, dk, dv, dt, dwd, dbd, dwf, dsc = outs
 
     def unpad(xx):
+        xx = xx.reshape(b, h, tp, cp)
         return xx[:, :, :t_real, :dh].astype(q.dtype)
 
     dwd_out = dwd[:dh + 1, :e * dh].astype(wd.dtype)

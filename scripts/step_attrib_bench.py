@@ -46,15 +46,22 @@ def setup(cfg):
     return model, state, feats, labels
 
 
+def _sync(out):
+    """Host transfer — the only airtight completion barrier over the axon
+    relay (block_until_ready alone returns early there)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0])
+
+
 def time_fn(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(fn(*args))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
+        out = None
         for _ in range(STEPS):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best / STEPS * 1e3
 
@@ -97,28 +104,27 @@ def main():
                 updates, opt_state = tx.update(grads, opt_state, params)
                 return optax.apply_updates(params, updates), opt_state, loss
 
-            out = fn(state.params, opt_state, feats, labels)
-            jax.block_until_ready(out)
+            _sync(fn(state.params, opt_state, feats, labels)[2])
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 p, o = state.params, opt_state
                 for _ in range(STEPS):
                     p, o, loss = fn(p, o, feats, labels)
-                jax.block_until_ready(loss)
+                _sync(loss)
                 best = min(best, time.perf_counter() - t0)
             ms = best / STEPS * 1e3
         else:
             step = build_train_step(model, donate=False)
             s = state
-            step(s, feats, labels, rng)[1].block_until_ready()
+            _sync(step(s, feats, labels, rng)[1])
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 s2 = s
                 for _ in range(STEPS):
                     s2, loss = step(s2, feats, labels, rng)
-                jax.block_until_ready(loss)
+                _sync(loss)
                 best = min(best, time.perf_counter() - t0)
             ms = best / STEPS * 1e3
         print(f"{name:8s}: {ms:7.2f} ms/step", flush=True)

@@ -276,7 +276,7 @@ TRAJ_STEPS = 5
 
 
 def run_trajectory(name, cfg, feature_specs, batch_fn, *, mark_file=None,
-                   extras_fn=None, rtol=3e-4):
+                   extras_fn=None, rtol=1e-4):
     from easydgl_tpu.train.steps import build_train_step, init_state
     ref = RefModel(name, cfg, feature_specs, mark_file=mark_file,
                    train_mode="step")
@@ -323,6 +323,144 @@ def test_gru4rec_trajectory_parity():
         return regressive_feats(ids, ts)
 
     run_trajectory("GRU4REC", cfg, {"seqs_i": ((L,), "int32")}, batch)
+
+
+def test_tgat_trajectory_parity():
+    cfg = tiny_cfg("TGAT")
+
+    def batch(s):
+        ids, ts = seq_batch(seed=50 + s)
+        return regressive_feats(ids, ts, with_time=True)
+
+    run_trajectory("TGAT", cfg,
+                   {"seqs_i": ((L,), "int32"),
+                    "seqs_t": ((L + 1,), "float32")}, batch)
+
+
+def test_tisasrec_trajectory_parity():
+    """Interval-bucket attention: bucket clipping + K/V interval tables."""
+    cfg = tiny_cfg("TiSASREC")
+
+    def batch(s):
+        ids, ts = seq_batch(seed=60 + s)
+        return regressive_feats(ids, ts, with_time=True)
+
+    run_trajectory("TiSASREC", cfg,
+                   {"seqs_i": ((L,), "int32"),
+                    "seqs_t": ((L + 1,), "float32")}, batch)
+
+
+def test_s2pnm_trajectory_parity():
+    cfg = tiny_cfg("S2PNM", num_blocks=1)
+
+    def batch(s):
+        ids, ts = seq_batch(seed=70 + s)
+        return regressive_feats(ids, ts)
+
+    run_trajectory("S2PNM", cfg, {"seqs_i": ((L,), "int32")}, batch)
+
+
+def test_timelyrec_trajectory_parity():
+    cfg = tiny_cfg("TimelyREC")
+    drng = np.random.RandomState(11)
+
+    def batch(s):
+        ids, ts = seq_batch(seed=80 + s)
+        feats, labels = regressive_feats(ids, ts, with_time=True)
+        feats["seqs_month"] = drng.randint(1, 13, (B, L)).astype(np.int64)
+        feats["seqs_day"] = drng.randint(1, 32, (B, L)).astype(np.int64)
+        feats["seqs_weekday"] = drng.randint(0, 7, (B, L)).astype(np.int64)
+        feats["seqs_hour"] = drng.randint(0, 24, (B, L)).astype(np.int64)
+        feats["seqs_i"] = feats["seqs_i"].astype(np.int64)
+        return feats, labels
+
+    specs = {"seqs_i": ((L,), "int64"), "seqs_t": ((L + 1,), "float32"),
+             "seqs_month": ((L,), "int64"), "seqs_day": ((L,), "int64"),
+             "seqs_weekday": ((L,), "int64"), "seqs_hour": ((L,), "int64")}
+    run_trajectory("TimelyREC", cfg, specs, batch)
+
+
+def test_bert4rec_trajectory_parity():
+    cfg = tiny_cfg("BERT4REC")
+    specs = {"seqs_i": ((L + 1,), "int32"),
+             "masked_positions": ((cfg.masklen,), "int32")}
+
+    def batch(s):
+        _, _, pos, masked, labels, _ = masked_batch(mask_id=V, seed=90 + s)
+        return {"seqs_i": masked, "masked_positions": pos}, labels
+
+    run_trajectory("BERT4REC", cfg, specs, batch)
+
+
+def test_grec_trajectory_parity():
+    cfg = tiny_cfg("GREC", masklen=3)
+    specs = {"seqs_i": ((None,), "int32"), "seqs_m": ((None,), "int32"),
+             "masked_positions": ((cfg.masklen,), "int32")}
+
+    def batch(s):
+        ids, _, pos, masked, labels, _ = masked_batch(
+            mask_id=V, ignore_head=True, seed=100 + s)
+        return {"seqs_i": ids, "seqs_m": masked,
+                "masked_positions": pos - 1}, labels   # AR shift
+
+    run_trajectory("GREC", cfg, specs, batch)
+
+
+def test_ctsma_trajectory_parity(mark_setup):
+    mark, mark_file, E = mark_setup
+    cfg = tiny_cfg("CTSMA", ct_reg=1e-3, num_events=E)
+
+    def batch(s):
+        ids, ts = seq_batch(seed=110 + s)
+        return regressive_feats(ids, ts, with_time=True)
+
+    def extras(feats, labels):
+        return {"seqs_marks": mark[feats["seqs_i"]].astype(np.float32),
+                "next_marks": mark[labels].astype(np.float32)}
+
+    run_trajectory("CTSMA", cfg,
+                   {"seqs_i": ((L,), "int32"),
+                    "seqs_t": ((L + 1,), "float32")}, batch,
+                   mark_file=mark_file, extras_fn=extras)
+
+
+def test_tgrec_trajectory_parity():
+    """Constant timestamps (zero span matrix) sidestep the documented span
+    repair (models/tgrec.py:7-11); everything else — including TGREC's
+    clipped-Adam trainOp — is trajectory-checked."""
+    cfg = tiny_cfg("TGREC", num_heads=1)
+
+    def batch_ref(s):
+        ids, _ = seq_batch(seed=120 + s)
+        return ({"seqs_i": ids[:, :-1],
+                 "seqs_t": np.full((B, L), 5e5, np.float32)}, ids[:, 1:])
+
+    from easydgl_tpu.train.steps import build_train_step, init_state
+    ref = RefModel("TGREC", cfg,
+                   {"seqs_i": ((L,), "int32"), "seqs_t": ((L,), "float32")},
+                   train_mode="step")
+    try:
+        batches = [batch_ref(s) for s in range(TRAJ_STEPS)]
+        my0 = {"seqs_i": batches[0][0]["seqs_i"],
+               "seqs_t": np.full((B, L + 1), 5e5, np.float32)}
+        model, params = my_model("TGREC", cfg, my0)
+        params = transplant(params, MAPPERS["TGREC"](ref.variables, cfg))
+        state = init_state(
+            model, {k: jax.numpy.asarray(v) for k, v in my0.items()}, seed=0)
+        state = state._replace(params=params)
+        step = build_train_step(model, donate=False)
+        rng = jax.random.key(7)
+        my_losses, ref_losses = [], []
+        for feats, labels in batches:
+            myf = {"seqs_i": feats["seqs_i"],
+                   "seqs_t": np.full((B, L + 1), 5e5, np.float32)}
+            jf = {k: jax.numpy.asarray(v) for k, v in myf.items()}
+            state, ml = step(state, jf, jax.numpy.asarray(labels), rng)
+            my_losses.append(float(ml))
+            ref_losses.append(ref.train_step(feats, labels))
+        np.testing.assert_allclose(my_losses, ref_losses, rtol=1e-4)
+    finally:
+        ref.close()
 
 
 def test_easydgl_trajectory_parity(mark_setup):
