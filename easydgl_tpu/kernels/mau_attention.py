@@ -18,23 +18,34 @@ emits dq/dk/dv/dt per tile plus weight grads accumulated across the
 sequential grid. Dropout uses the TPU PRNG with a per-program seed, so the
 backward regenerates the identical mask without materializing it.
 
+RECTANGULAR QUERIES — queries and keys may have different lengths. The
+caller may gather the query rows down to just the prediction positions
+(BERT-style masked training predicts ``masklen`` of ``L`` positions; eval
+predicts only the last) and pass the original positions via ``qpos``:
+attention rows are independent, so out[b,:,i,:] equals the full-length
+result's row ``qpos[b,i]`` exactly, while every per-query cost — the
+dominant (rows, E*dh) intensity passes above all — shrinks by Tq/Tk.
+``qpos`` (float32 ints) drives BOTH the causal mask (col <= qpos) and the
+BiMAU diagonal reset (col == qpos), so the square case (qpos = iota) is
+bit-identical to the always-square kernel it replaced.
+
 Grid: one program per BLOCK of batch rows (auto-sized: the largest of
-8/4/2/1 rows whose working set fits VMEM — 4 fwd / 2 bwd at the flagship
-shape). Two packing levels feed the MXU full tiles:
+8/4/2/1 rows whose working set fits VMEM). Two packing levels feed the MXU
+full tiles:
 
 * BATCH BLOCKING — each program processes all H heads of BB rows with the
   leading (rows, heads) dims merged, so the big intensity matmuls see
-  BB*H*T-row operands and per-program overhead is amortized.
-* TILE PACKING — p = 128/Tp heads are packed per (p*Tp)-row attention
+  BB*H*Tq-row operands and per-program overhead is amortized.
+* TILE PACKING — p = 128/Tkp heads are packed per (p*Tkp)-col attention
   operand (a byte-identical XLA reshape in ``_prep``), turning the tiny
-  per-head (Tp, Tp) QK^T/modulation/@V matmuls into near-full 128-wide
+  per-head (Tqp, Tkp) QK^T/modulation/@V matmuls into near-full 128-wide
   MXU tiles; cross-head tile entries are masked to PAD_NEG so their
   softmax probabilities are EXACTLY zero and every contraction over keys
   ignores them (forward and backward).
 
 Dropout is seeded PER BATCH ROW (seed + absolute row index) with a mask
-shape that depends only on (H, Tp), so the backward regenerates identical
-masks even at a different batch block size.
+shape that depends only on (H, Tqp, Tkp), so the backward regenerates
+identical masks even at a different batch block size.
 
 ``mau_attention_reference`` is the jnp parity implementation (same contract,
 materialized) used by the kernel parity tests.
@@ -60,11 +71,11 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _auto_bb(b: int, h: int, tp: int, ed_p: int, live: int,
+def _auto_bb(b: int, h: int, tqp: int, ed_p: int, live: int,
              budget: int) -> int:
     """Largest batch-rows-per-program of (8,4,2,1) dividing b whose ``live``
-    simultaneous (h*tp, ed_p) fp32 temporaries fit the VMEM ``budget``."""
-    per_row = live * h * tp * ed_p * 4
+    simultaneous (h*tqp, ed_p) fp32 temporaries fit the VMEM ``budget``."""
+    per_row = live * h * tqp * ed_p * 4
     bb = 1
     for cand in (2, 4, 8):
         if b % cand == 0 and cand * per_row <= budget:
@@ -80,30 +91,46 @@ def _sel_matrix(num_events: int, dh: int, ed_p: int, e_p: int):
     return ok.astype(jnp.float32)
 
 
-def _pack_structure(n: int, tp: int, t_real: int):
-    """(n, n) bool: col c is a REAL key position for query row r under
-    packing — same sequence block (p blocks share one tile) and within the
-    real length. Everything outside gets PAD_NEG (strictly below the
+def _pack_structure(nq: int, nk: int, tqp: int, tkp: int, tk_real: int):
+    """(nq, nk) bool: col c is a REAL key position for query row r under
+    packing — same head block (p blocks share one tile) and within the
+    real key length. Everything outside gets PAD_NEG (strictly below the
     key-mask constant NEG), so off-block probs are EXACTLY zero (exp
     underflow) and a fully-masked REAL row still softmaxes uniform over
     its own block's real columns — matching the XLA path."""
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    return (cols // tp == rows // tp) & (cols % tp < t_real)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0)
+    return (cols // tkp == rows // tqp) & (cols % tkp < tk_real)
 
 
-def _probs_block(q, k, key_mask, *, scale, causal, t_real, tp):
-    """(Gp, p*Tp, p*Tp) masked softmax probabilities."""
+def _causal_keep(qp, nq: int, nk: int, tqp: int, tkp: int):
+    """(G, nq, nk) bool: key col within the causal horizon of the query's
+    ORIGINAL position (col_pos <= qpos)."""
+    colk = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1) % tkp
+    return colk.astype(jnp.float32)[None] <= qp[:, :, None]
+
+
+def _diag_mask(qp, nq: int, nk: int, tqp: int, tkp: int):
+    """(G, nq, nk) bool: key col IS the query's original position (and in
+    the query's own packed block)."""
+    colk = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1)
+    rowq = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0)
+    same = (colk // tkp == rowq // tqp)
+    return same[None] & ((colk % tkp).astype(jnp.float32)[None]
+                         == qp[:, :, None])
+
+
+def _probs_block(q, k, key_mask, qp, *, scale, causal, tk_real, tqp, tkp):
+    """(Gp, nq, nk) masked softmax probabilities."""
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     s = s * scale
-    n = s.shape[-1]
+    nq, nk = s.shape[-2], s.shape[-1]
     s = jnp.where(key_mask[:, None, :] != 0, s, NEG)
     if causal:
-        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        s = jnp.where((cols % tp <= rows % tp)[None], s, NEG)
-    s = jnp.where(_pack_structure(n, tp, t_real)[None], s, PAD_NEG)
+        s = jnp.where(_causal_keep(qp, nq, nk, tqp, tkp), s, NEG)
+    s = jnp.where(_pack_structure(nq, nk, tqp, tkp, tk_real)[None], s,
+                  PAD_NEG)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     return p / jnp.sum(p, axis=-1, keepdims=True)
@@ -118,8 +145,8 @@ def _intensity_block(probs, t, iv, wd, bd, wf, sel_w, scaling, *, dh):
     recompute — the elementwise passes over the (rows, EDp) activation,
     not the matmuls, dominate this block's time on the VPU.
 
-    Returns (lam (G,Tp,Ep), raw (G,Tp,Ep), sig (G*Tp,EDp) in the compute
-    dtype, x (G,Tp,Cp)). Matmuls run in the weight/input dtype (bf16 in
+    Returns (lam (G,Tq,Ep), raw (G,Tq,Ep), sig (G*Tq,EDp) in the compute
+    dtype, x (G,Tq,Cp)). Matmuls run in the weight/input dtype (bf16 in
     mixed-precision mode, the MXU fast path) with fp32 accumulation; the
     sigmoid is EVALUATED in fp32 and stored once in the compute dtype
     (exactly the rounding the old (sig*wf).astype(cdt) applied).
@@ -127,13 +154,13 @@ def _intensity_block(probs, t, iv, wd, bd, wf, sel_w, scaling, *, dh):
     cdt = t.dtype
     seq_units = jax.lax.dot_general(
         probs.astype(cdt), t, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (G, Tp, Cp)
-    hh, tp, cp = seq_units.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (tp, cp), 1)
+        preferred_element_type=jnp.float32)              # (G, Tq, Cp)
+    hh, tq, cp = seq_units.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, cp), 1)
     x = seq_units + jnp.where((col == dh)[None], 1.0, 0.0) * iv[:, :, None]
-    # collapse (G, Tp) -> rows: ONE large MXU matmul instead of G batched
-    # small ones (Tp is sublane-aligned so the reshape is layout-free)
-    x2 = x.reshape(hh * tp, cp)
+    # collapse (G, Tq) -> rows: ONE large MXU matmul instead of G batched
+    # small ones (Tq is sublane-aligned so the reshape is layout-free)
+    x2 = x.reshape(hh * tq, cp)
     # the (rows, EDp) intermediates are the kernel's VMEM-bandwidth hot
     # spot (2.1GB-equivalent per fp32 pass at the flagship shape). Mosaic
     # requires 32-bit matmul ACCUMULATORS, so z stays fp32 out of the MXU;
@@ -142,27 +169,26 @@ def _intensity_block(probs, t, iv, wd, bd, wf, sel_w, scaling, *, dh):
     # keeping every later pass over (rows, EDp) in bf16 in mixed mode.
     z = jax.lax.dot(x2.astype(cdt), wd,
                     preferred_element_type=jnp.float32)
-    sig = jax.nn.sigmoid(z + bd[None, :]).astype(cdt)    # (G*Tp, EDp) cdt
+    sig = jax.nn.sigmoid(z + bd[None, :]).astype(cdt)    # (G*Tq, EDp) cdt
     raw2 = jax.lax.dot(sig, sel_w.astype(cdt),
                        preferred_element_type=jnp.float32)
-    raw = raw2.reshape(hh, tp, raw2.shape[-1])
+    raw = raw2.reshape(hh, tq, raw2.shape[-1])
     s = jnp.exp(scaling)[None, None, :]                  # (1, 1, Ep)
     lam = s * jax.nn.softplus(raw / s)
     return lam, raw, sig, x
 
 
-def _modulation(lam, onehot, probs, *, diag_reset):
-    """intensity_qk (+ diag reset) * probs. onehot: (G, Tp, Ep) or
-    broadcastable to lam's leading dim."""
-    hh, tp, _ = probs.shape
+def _modulation(lam, onehot, probs, qp, *, diag_reset, tqp, tkp):
+    """intensity_qk (+ diag reset at col == qpos) * probs. onehot:
+    (G, Tk, Ep) or broadcastable to lam's leading dim."""
+    hh, nq, nk = probs.shape
     intensity_qk = jax.lax.dot_general(
         lam, jnp.broadcast_to(onehot, lam.shape[:1] + onehot.shape[1:]),
         (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # (G, Tq, Tk)
     if diag_reset:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
-        intensity_qk = jnp.where((rows == cols)[None], 1.0, intensity_qk)
+        intensity_qk = jnp.where(_diag_mask(qp, nq, nk, tqp, tkp), 1.0,
+                                 intensity_qk)
     return intensity_qk, intensity_qk * probs
 
 
@@ -175,47 +201,52 @@ def _drop_mask(shape, rate: float):
     return jnp.where(keep, 1.0 / keep_prob, 0.0)
 
 
-def _pack_factor(h: int, tp: int) -> int:
-    """Sequence-blocks packed per MXU tile: the largest divisor of H with
-    p*Tp <= 128. Packing p consecutive G-rows (= p heads of one batch row)
-    into one (p*Tp)-row operand turns the tiny per-head (Tp, Tp) attention
+def _pack_factor(h: int, tqp: int, tkp: int) -> int:
+    """Head blocks packed per MXU tile: the largest divisor of H with
+    p*Tkp <= 128 (and p*Tqp <= 128 so query rows stay one tile tall).
+    Packing p consecutive G-rows (= p heads of one batch row) into one
+    (p*Tkp)-col operand turns the tiny per-head (Tqp, Tkp) attention
     matmuls into near-full MXU tiles; off-diagonal (cross-head) blocks are
     masked to PAD_NEG so their softmax probs are EXACTLY zero and every
     downstream contraction over keys ignores them. p depends only on
-    (H, Tp) — never on the batch block size — so dropout masks regenerate
-    identically in forward and backward."""
+    (H, Tqp, Tkp) — never on the batch block size — so dropout masks
+    regenerate identically in forward and backward."""
     p = 1
     for cand in (2, 4, 8):
-        if h % cand == 0 and cand * tp <= 128:
+        if h % cand == 0 and cand * tkp <= 128 and cand * tqp <= 128:
             p = cand
     return p
 
 
-def _merge_inputs(q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref, oh_ref):
+def _merge_inputs(q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref, qp_ref,
+                  oh_ref):
     """Merge the (BB, H/p) leading block dims into Gp = BB*H/p and
     broadcast the per-batch-row tensors across head groups. The p-packing
     itself happens OUTSIDE the kernel (``_prep``) as a free XLA reshape —
     in-kernel reshapes may only merge LEADING dims (Mosaic rejects shape
     casts that touch the sublane/lane dims)."""
-    bb, hp, n, cp = q_ref.shape
+    bb, hp, nq, cp = q_ref.shape
+    nk = k_ref.shape[2]
     g = bb * hp
-    q = q_ref[...].reshape(g, n, cp)
-    k = k_ref[...].reshape(g, n, cp)
-    v = v_ref[...].reshape(g, n, cp)
-    t = t_ref[...].reshape(g, n, cp)
-    km = jnp.broadcast_to(km_ref[...], (bb, hp, n)).reshape(g, n)
-    iv = jnp.broadcast_to(iv_ref[...], (bb, hp, n)).reshape(g, n)
+    q = q_ref[...].reshape(g, nq, cp)
+    k = k_ref[...].reshape(g, nk, cp)
+    v = v_ref[...].reshape(g, nk, cp)
+    t = t_ref[...].reshape(g, nk, cp)
+    km = jnp.broadcast_to(km_ref[...], (bb, hp, nk)).reshape(g, nk)
+    iv = jnp.broadcast_to(iv_ref[...], (bb, hp, nq)).reshape(g, nq)
+    qp = jnp.broadcast_to(qp_ref[...], (bb, hp, nq)).reshape(g, nq)
     e_p = oh_ref.shape[-1]
     oh = jnp.broadcast_to(oh_ref[...][:, None],
-                          (bb, hp, n, e_p)).reshape(g, n, e_p)
-    return q, k, v, t, km, iv, oh
+                          (bb, hp, nk, e_p)).reshape(g, nk, e_p)
+    return q, k, v, t, km, iv, qp, oh
 
 
 def _block_drop_mask(seed0, bb: int, shape_per_row, rate: float):
     """Per-BATCH-ROW seeded keep-masks, concatenated along the merged G dim.
     Seeding by absolute row index makes the mask independent of the block
     size, so forward and backward may use different BB. ``shape_per_row``
-    is the PACKED (H/p, p*Tp, p*Tp) shape — a function of (H, Tp) only."""
+    is the PACKED (H/p, p*Tqp, p*Tkp) shape — a function of (H, Tqp, Tkp)
+    only."""
     base = seed0 + pl.program_id(0) * bb
     rows = []
     for j in range(bb):
@@ -225,37 +256,40 @@ def _block_drop_mask(seed0, bb: int, shape_per_row, rate: float):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
-                oh_ref, wd_ref, bd_ref, wf_ref, sc_ref,
+                qp_ref, oh_ref, wd_ref, bd_ref, wf_ref, sc_ref,
                 out_ref, lam_ref, *,
-                scale, causal, diag_reset, dropout_rate, t_real, tp, dh,
-                num_events, ed_p, e_p):
-    bb, hp, n, cp = q_ref.shape
-    q, k, v, t, km, iv, oh = _merge_inputs(q_ref, k_ref, v_ref, t_ref,
-                                           km_ref, iv_ref, oh_ref)
-    probs = _probs_block(q, k, km, scale=scale, causal=causal,
-                         t_real=t_real, tp=tp)
+                scale, causal, diag_reset, dropout_rate, tk_real, tqp, tkp,
+                dh, num_events, ed_p, e_p):
+    bb, hp, nq, cp = q_ref.shape
+    nk = k_ref.shape[2]
+    q, k, v, t, km, iv, qp, oh = _merge_inputs(q_ref, k_ref, v_ref, t_ref,
+                                               km_ref, iv_ref, qp_ref,
+                                               oh_ref)
+    probs = _probs_block(q, k, km, qp, scale=scale, causal=causal,
+                         tk_real=tk_real, tqp=tqp, tkp=tkp)
     wf = wf_ref[:]
     sel_w = _sel_matrix(num_events, dh, ed_p, e_p) * wf[:, None]
     lam, _, _, _ = _intensity_block(probs, t, iv, wd_ref[:],
                                     bd_ref[:], wf, sel_w, sc_ref[:],
                                     dh=dh)
-    _, modulated = _modulation(lam, oh, probs, diag_reset=diag_reset)
+    _, modulated = _modulation(lam, oh, probs, qp, diag_reset=diag_reset,
+                               tqp=tqp, tkp=tkp)
     if dropout_rate > 0.0:
         modulated = modulated * _block_drop_mask(
-            seed_ref[0], bb, (hp, n, n), dropout_rate)
+            seed_ref[0], bb, (hp, nq, nk), dropout_rate)
     out = jax.lax.dot_general(
         modulated.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    out_ref[...] = out.reshape(bb, hp, n, cp)
-    lam_ref[...] = lam.reshape(bb, hp, n, e_p)
+    out_ref[...] = out.reshape(bb, hp, nq, cp)
+    lam_ref[...] = lam.reshape(bb, hp, nq, e_p)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
-                oh_ref, wd_ref, bd_ref, wf_ref, sc_ref, go_ref, gl_ref,
-                dq_ref, dk_ref, dv_ref, dt_ref, dwd_ref, dbd_ref, dwf_ref,
-                dsc_ref, dwd_acc, dbd_acc, dwf_acc, dsc_acc, *,
-                scale, causal, diag_reset, dropout_rate, t_real, tp, dh,
-                num_events, ed_p, e_p, num_b):
+                qp_ref, oh_ref, wd_ref, bd_ref, wf_ref, sc_ref, go_ref,
+                gl_ref, dq_ref, dk_ref, dv_ref, dt_ref, dwd_ref, dbd_ref,
+                dwf_ref, dsc_ref, dwd_acc, dbd_acc, dwf_acc, dsc_acc, *,
+                scale, causal, diag_reset, dropout_rate, tk_real, tqp, tkp,
+                dh, num_events, ed_p, e_p, num_b):
     bi = pl.program_id(0)
 
     @pl.when(bi == 0)
@@ -265,22 +299,24 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         dwf_acc[:] = jnp.zeros_like(dwf_acc)
         dsc_acc[:] = jnp.zeros_like(dsc_acc)
 
-    bb, hp, n, cp = q_ref.shape
-    q, k, v, t, km, iv, onehot = _merge_inputs(q_ref, k_ref, v_ref, t_ref,
-                                               km_ref, iv_ref, oh_ref)
+    bb, hp, nq, cp = q_ref.shape
+    nk = k_ref.shape[2]
+    q, k, v, t, km, iv, qp, onehot = _merge_inputs(
+        q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref, qp_ref, oh_ref)
     wd, bd, wf, sc = wd_ref[:], bd_ref[:], wf_ref[:], sc_ref[:]
     # ---- recompute forward tile
-    probs = _probs_block(q, k, km, scale=scale, causal=causal,
-                         t_real=t_real, tp=tp)
+    probs = _probs_block(q, k, km, qp, scale=scale, causal=causal,
+                         tk_real=tk_real, tqp=tqp, tkp=tkp)
     sel = _sel_matrix(num_events, dh, ed_p, e_p)
     lam, raw, sig, x = _intensity_block(probs, t, iv, wd, bd, wf,
                                         sel * wf[:, None], sc, dh=dh)
-    intensity_qk, _ = _modulation(lam, onehot, probs, diag_reset=diag_reset)
+    intensity_qk, _ = _modulation(lam, onehot, probs, qp,
+                                  diag_reset=diag_reset, tqp=tqp, tkp=tkp)
 
-    go = go_ref[...].reshape(bb * hp, n, cp)             # (Gp, n, Cp)
+    go = go_ref[...].reshape(bb * hp, nq, cp)            # (Gp, nq, Cp)
     # ---- out = (modulated * drop) @ v
     if dropout_rate > 0.0:
-        drop = _block_drop_mask(seed_ref[0], bb, (hp, n, n), dropout_rate)
+        drop = _block_drop_mask(seed_ref[0], bb, (hp, nq, nk), dropout_rate)
     else:
         drop = None
     modulated = intensity_qk * probs
@@ -288,25 +324,23 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     cdt = v.dtype
     dv_ref[...] = jax.lax.dot_general(
         dropped.astype(cdt), go.astype(cdt), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, hp, n, cp)
+        preferred_element_type=jnp.float32).reshape(bb, hp, nk, cp)
     dmod = jax.lax.dot_general(
         go.astype(cdt), v, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (H, Tq, Tk)
+        preferred_element_type=jnp.float32)              # (G, Tq, Tk)
     if drop is not None:
         dmod = dmod * drop
     dint = dmod * probs                                  # d/d intensity_qk
     dprobs = dmod * intensity_qk
     # ---- intensity_qk = lam @ onehot^T (diag entries overwritten -> no
-    # grad). Under packing the (i, i) diagonal is exactly the union of the
-    # per-block diagonals.
+    # grad). Under packing the reset entries are exactly col == qpos within
+    # the query's own block.
     if diag_reset:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        dint = jnp.where((rows == cols)[None], 0.0, dint)
+        dint = jnp.where(_diag_mask(qp, nq, nk, tqp, tkp), 0.0, dint)
     dlam = jax.lax.dot_general(
         dint, jnp.broadcast_to(onehot, dint.shape[:1] + onehot.shape[1:]),
         (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (H, Tq, Ep)
+        preferred_element_type=jnp.float32)              # (G, Tq, Ep)
     dlam = dlam + gl_ref[...].reshape(dlam.shape)        # TPP-side cotangent
     # ---- lam = s * softplus(raw / s), s = exp(scaling)
     s = jnp.exp(sc)[None, None, :]
@@ -319,27 +353,27 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     # ---- raw = (sig * wf) @ sel. As in the forward, every (rows, EDp)
     # intermediate stays in the compute dtype (bf16 in mixed precision) to
     # halve the VMEM-bandwidth passes; weight-grad ACCUMULATION is fp32.
-    hh, tp_q, e_pp = draw.shape
-    draw2 = draw.reshape(hh * tp_q, e_pp)
+    hh, tq_n, e_pp = draw.shape
+    draw2 = draw.reshape(hh * tq_n, e_pp)
     dsw = jax.lax.dot_general(
         draw2.astype(cdt), sel.astype(cdt), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(cdt)  # (H*Tq, EDp)
+        preferred_element_type=jnp.float32).astype(cdt)  # (G*Tq, EDp)
     dwf_acc[:, :] += jnp.sum((dsw * sig).astype(jnp.float32),
                              axis=0)[None, :]
     dsig = dsw * wf.astype(cdt)[None, :]
-    dz = dsig * sig * (1.0 - sig)                        # (H*Tq, EDp) cdt
+    dz = dsig * sig * (1.0 - sig)                        # (G*Tq, EDp) cdt
     # ---- z = x @ wd + bd (rows collapsed: one MXU matmul per program)
     dx2 = jax.lax.dot_general(
         dz.astype(cdt), wd, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (H*Tp, Cp)
-    dx = dx2.reshape(hh, tp_q, dx2.shape[-1])
-    x2 = x.reshape(hh * tp_q, x.shape[-1])
+        preferred_element_type=jnp.float32)              # (G*Tq, Cp)
+    dx = dx2.reshape(hh, tq_n, dx2.shape[-1])
+    x2 = x.reshape(hh * tq_n, x.shape[-1])
     dwd_acc[:, :] += jax.lax.dot_general(
         x2.astype(cdt), dz.astype(cdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dbd_acc[:, :] += jnp.sum(dz.astype(jnp.float32), axis=0)[None, :]
     # ---- x = seq_units + iv (interval column is a non-diff input)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, cp), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nq, cp), 1)
     dseq = jnp.where((col == dh)[None], 0.0, dx)
     # ---- seq_units = probs @ t
     dprobs = dprobs + jax.lax.dot_general(
@@ -347,7 +381,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         preferred_element_type=jnp.float32)
     dt_ref[...] = jax.lax.dot_general(
         probs.astype(cdt), dseq.astype(cdt), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, hp, n, cp)
+        preferred_element_type=jnp.float32).reshape(bb, hp, nk, cp)
     # ---- softmax backward. Masked entries usually have probs == 0, but a
     # FULLY-masked row softmaxes to uniform (probs != 0); the forward's
     # where(mask, s, NEG) blocks gradient flow there, so zero dlogit on
@@ -355,19 +389,18 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     # probs == 0 exactly, so they contribute nothing either way).
     dlogit = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
                                        keepdims=True))
-    cols_m = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    rows_m = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    valid = (km[:, None, :] != 0) & _pack_structure(n, tp, t_real)[None]
+    valid = ((km[:, None, :] != 0)
+             & _pack_structure(nq, nk, tqp, tkp, tk_real)[None])
     if causal:
-        valid = valid & (cols_m % tp <= rows_m % tp)[None]
+        valid = valid & _causal_keep(qp, nq, nk, tqp, tkp)
     dlogit = jnp.where(valid, dlogit, 0.0)
     dlogit = dlogit * scale
     dq_ref[...] = jax.lax.dot_general(
         dlogit.astype(cdt), k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, hp, n, cp)
+        preferred_element_type=jnp.float32).reshape(bb, hp, nq, cp)
     dk_ref[...] = jax.lax.dot_general(
         dlogit.astype(cdt), q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, hp, n, cp)
+        preferred_element_type=jnp.float32).reshape(bb, hp, nk, cp)
 
     @pl.when(bi == num_b - 1)
     def _store():
@@ -377,44 +410,53 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         dsc_ref[:] = dsc_acc[:]
 
 
-def _prep(cfg_shapes, q, k, v, t, key_mask, intervals, onehot):
-    """Pad to TPU tiles AND pre-pack p heads per (p*Tp)-row MXU tile.
+def _prep(cfg_shapes, q, k, v, t, key_mask, intervals, qpos, onehot):
+    """Pad to TPU tiles AND pre-pack p heads per MXU tile.
 
     The packing reshape (B, H, Tp, Cp) -> (B, H/p, p*Tp, Cp) is byte-
     identical in row-major HBM (free for XLA); doing it HERE keeps the
     in-kernel reshapes to leading-dim merges, which is all Mosaic's layout
     inference supports. The per-batch-row tensors (key mask, intervals,
-    one-hots) are tiled p times along the sequence axis so every packed
-    block sees its row's values."""
-    (b, h, t_real, dh), e = cfg_shapes
-    tp = max(_round_up(t_real, 8), 8)
+    query positions, one-hots) are tiled p times along the sequence axis so
+    every packed block sees its row's values. Padded QUERY rows get
+    qpos = -1 so they match no causal horizon and no diagonal (their
+    outputs are discarded at unpad; their cotangents are zero-padded)."""
+    (b, h, tq_real, dh), tk_real, e = cfg_shapes
+    tqp = max(_round_up(tq_real, 8), 8)
+    tkp = max(_round_up(tk_real, 8), 8)
     # contraction dims only need sublane (8) alignment; padding to 128 would
     # nearly double the dominant z-matmul FLOPs at dh=64
     cp = _round_up(dh + 1, 8)
     e_p = _round_up(e, 128)
     ed_p = _round_up(e * dh, 128)
-    p = _pack_factor(h, tp)
-    n = p * tp
+    p = _pack_factor(h, tqp, tkp)
+    nq, nk = p * tqp, p * tkp
 
-    def pad4(xx):
+    def pad4(xx, tp):
         # preserve the caller's dtype: bf16 inputs keep the MXU fast path
+        t_real = xx.shape[2]
         xx = jnp.pad(xx, ((0, 0), (0, 0), (0, tp - t_real),
                           (0, cp - xx.shape[-1])))
-        return xx.reshape(b, h // p, n, cp)
+        return xx.reshape(b, h // p, p * tp, cp)
 
-    qp, kp, vp, tp_ = pad4(q), pad4(k), pad4(v), pad4(t)
+    qp_ = pad4(q, tqp)
+    kp_, vp_, tp_ = pad4(k, tkp), pad4(v, tkp), pad4(t, tkp)
     # (B, 1, n): TPU block shapes need the last two dims to equal the
     # array dims (or be (8,128)-divisible); 2D (1, n) blocks are rejected
     km = jnp.pad(key_mask.astype(jnp.float32),
-                 ((0, 0), (0, tp - t_real)))
+                 ((0, 0), (0, tkp - tk_real)))
     iv = jnp.pad(intervals.astype(jnp.float32),
-                 ((0, 0), (0, tp - t_real)))
+                 ((0, 0), (0, tqp - tq_real)))
+    qpos_f = jnp.pad(qpos.astype(jnp.float32),
+                     ((0, 0), (0, tqp - tq_real)), constant_values=-1.0)
     km = jnp.tile(km, (1, p))[:, None, :]
     iv = jnp.tile(iv, (1, p))[:, None, :]
+    qpos_f = jnp.tile(qpos_f, (1, p))[:, None, :]
     oh = jnp.pad(onehot.astype(jnp.float32),
-                 ((0, 0), (0, tp - t_real), (0, e_p - e)))
+                 ((0, 0), (0, tkp - tk_real), (0, e_p - e)))
     oh = jnp.tile(oh, (1, p, 1))
-    return (qp, kp, vp, tp_, km, iv, oh), (tp, cp, e_p, ed_p, p)
+    return (qp_, kp_, vp_, tp_, km, iv, qpos_f, oh), (tqp, tkp, cp, e_p,
+                                                      ed_p, p)
 
 
 def _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p, cdt):
@@ -428,27 +470,28 @@ def _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p, cdt):
     return wdp, bdp, wfp, scp
 
 
-def _specs(bb, hp, n, cp, e_p, ed_p):
+def _specs(bb, hp, nq, nk, cp, e_p, ed_p):
     """in_specs shared by fwd and bwd (minus the grad inputs); hp = H/p,
-    n = p*Tp are the PACKED dims."""
+    nq/nk = p*Tqp / p*Tkp are the PACKED dims."""
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),             # seed (1,)
-        pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),  # q
-        pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),  # k
-        pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),  # v
-        pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),  # t
-        pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0)),          # key_mask
-        pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0)),          # intervals
-        pl.BlockSpec((bb, n, e_p), lambda i: (i, 0, 0)),        # onehot
-        pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),             # wd
-        pl.BlockSpec((ed_p,), lambda i: (0,)),                  # bd
-        pl.BlockSpec((ed_p,), lambda i: (0,)),                  # wf
-        pl.BlockSpec((e_p,), lambda i: (0,)),                   # scaling
+        pl.BlockSpec((bb, hp, nq, cp), lambda i: (i, 0, 0, 0)),  # q
+        pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),  # k
+        pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),  # v
+        pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),  # t
+        pl.BlockSpec((bb, 1, nk), lambda i: (i, 0, 0)),          # key_mask
+        pl.BlockSpec((bb, 1, nq), lambda i: (i, 0, 0)),          # intervals
+        pl.BlockSpec((bb, 1, nq), lambda i: (i, 0, 0)),          # qpos
+        pl.BlockSpec((bb, nk, e_p), lambda i: (i, 0, 0)),        # onehot
+        pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),              # wd
+        pl.BlockSpec((ed_p,), lambda i: (0,)),                   # bd
+        pl.BlockSpec((ed_p,), lambda i: (0,)),                   # wf
+        pl.BlockSpec((e_p,), lambda i: (0,)),                    # scaling
     ]
 
 
 # VMEM budgets for the auto block-size chooser: the forward holds ~3
-# (G*Tp, EDp) fp32 temporaries live (z, sig, sig*wf), the recompute
+# (G*Tq, EDp) fp32 temporaries live (z, sig, sig*wf), the recompute
 # backward ~6 (those plus dsw, dz, dx products). v5e VMEM is 128MB;
 # leave headroom for weights, accumulators and double-buffered blocks.
 _FWD_LIVE, _FWD_BUDGET = 3, 56 * 1024 * 1024
@@ -456,115 +499,138 @@ _BWD_LIVE, _BWD_BUDGET = 6, 72 * 1024 * 1024
 _VMEM_LIMIT = 110 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
-def mau_attention(q, k, v, t, key_mask, intervals, onehot,
-                  wd, bd, w, scaling, dropout_seed,
-                  causal: bool = False, diag_reset: bool = False,
-                  dropout_rate: float = 0.0,
-                  interpret: bool = False):
-    """Fused self-modulating attention.
-
-    q/k/v/t: (B, H, T, dh); key_mask/intervals: (B, T); onehot: (B, T, E);
-    wd: (dh+1, E*dh); bd: (E*dh,); w: (E, dh); scaling: (E,);
-    dropout_seed: int32 scalar (traced — varies per step without recompile).
-    Returns (out (B, H, T, dh) fp32, mark_intensity (B, H, T, E) fp32).
-    """
-    out, _ = _mau_fwd(q, k, v, t, key_mask, intervals, onehot, wd, bd, w,
-                      scaling, dropout_seed, causal, diag_reset,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+def _mau_attention(q, k, v, t, key_mask, intervals, onehot, qpos,
+                   wd, bd, w, scaling, dropout_seed,
+                   causal, diag_reset, dropout_rate, interpret):
+    out, _ = _mau_fwd(q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd,
+                      w, scaling, dropout_seed, causal, diag_reset,
                       dropout_rate, interpret)
     return out
 
 
-def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
-             dropout_seed, causal, diag_reset, dropout_rate, interpret):
-    b, h, t_real, dh = q.shape
+def mau_attention(q, k, v, t, key_mask, intervals, onehot,
+                  wd, bd, w, scaling, dropout_seed,
+                  causal: bool = False, diag_reset: bool = False,
+                  dropout_rate: float = 0.0,
+                  interpret: bool = False, *,
+                  qpos: Optional[jnp.ndarray] = None):
+    """Fused self-modulating attention.
+
+    q: (B, H, Tq, dh); k/v/t: (B, H, Tk, dh); key_mask: (B, Tk);
+    intervals: (B, Tq); onehot: (B, Tk, E); qpos: (B, Tq) original query
+    positions (defaults to iota — the square self-attention case; pass the
+    gathered prediction positions when Tq < Tk);
+    wd: (dh+1, E*dh); bd: (E*dh,); w: (E, dh); scaling: (E,);
+    dropout_seed: int32 scalar (traced — varies per step without recompile).
+    Returns (out (B, H, Tq, dh) fp32, mark_intensity (B, H, Tq, E) fp32).
+    """
+    b, _, tq, _ = q.shape
+    if qpos is None:
+        qpos = jnp.broadcast_to(
+            jnp.arange(tq, dtype=jnp.float32)[None], (b, tq))
+    return _mau_attention(q, k, v, t, key_mask, intervals, onehot,
+                          qpos.astype(jnp.float32), wd, bd, w, scaling,
+                          dropout_seed, causal, diag_reset, dropout_rate,
+                          interpret)
+
+
+def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w,
+             scaling, dropout_seed, causal, diag_reset, dropout_rate,
+             interpret):
+    b, h, tq_real, dh = q.shape
+    tk_real = k.shape[2]
     e = w.shape[0]
-    (qp, kp, vp, tpj, km, iv, oh), (tp, cp, e_p, ed_p, p) = _prep(
-        ((b, h, t_real, dh), e), q, k, v, t, key_mask, intervals, onehot)
-    hp, n = h // p, p * tp
+    (qp_, kp_, vp_, tpj, km, iv, qpf, oh), (tqp, tkp, cp, e_p, ed_p, p) = \
+        _prep(((b, h, tq_real, dh), tk_real, e), q, k, v, t, key_mask,
+              intervals, qpos, onehot)
+    hp, nq, nk = h // p, p * tqp, p * tkp
     wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p,
                                       e_p, q.dtype)
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
-    bb = _auto_bb(b, h, tp, ed_p, _FWD_LIVE, _FWD_BUDGET)
+    bb = _auto_bb(b, h, tqp, ed_p, _FWD_LIVE, _FWD_BUDGET)
 
     kernel = functools.partial(
         _fwd_kernel, scale=1.0 / dh ** 0.5, causal=causal,
         diag_reset=diag_reset, dropout_rate=dropout_rate,
-        t_real=t_real, tp=tp, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p)
+        tk_real=tk_real, tqp=tqp, tkp=tkp, dh=dh, num_events=e, ed_p=ed_p,
+        e_p=e_p)
 
     out, lam = pl.pallas_call(
         kernel,
         grid=(b // bb,),
-        in_specs=_specs(bb, hp, n, cp, e_p, ed_p),
+        in_specs=_specs(bb, hp, nq, nk, cp, e_p, ed_p),
         out_specs=[
-            pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, hp, n, e_p), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, nq, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, nq, e_p), lambda i: (i, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hp, n, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp, n, e_p), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, nq, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, nq, e_p), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(seed, qp, kp, vp, tpj, km, iv, oh, wdp, bdp, wfp, scp)
-    res = (q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
-           dropout_seed)
-    out = out.reshape(b, h, tp, cp)
-    lam = lam.reshape(b, h, tp, e_p)
-    return (out[:, :, :t_real, :dh], lam[:, :, :t_real, :e]), res
+    )(seed, qp_, kp_, vp_, tpj, km, iv, qpf, oh, wdp, bdp, wfp, scp)
+    res = (q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w,
+           scaling, dropout_seed)
+    out = out.reshape(b, h, tqp, cp)
+    lam = lam.reshape(b, h, tqp, e_p)
+    return (out[:, :, :tq_real, :dh], lam[:, :, :tq_real, :e]), res
 
 
 def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
-    (q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
+    (q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w, scaling,
      dropout_seed) = res
     go, gl = grads
-    b, h, t_real, dh = q.shape
+    b, h, tq_real, dh = q.shape
+    tk_real = k.shape[2]
     e = w.shape[0]
-    (qp, kp, vp, tpj, km, iv, oh), (tp, cp, e_p, ed_p, p) = _prep(
-        ((b, h, t_real, dh), e), q, k, v, t, key_mask, intervals, onehot)
-    hp, n = h // p, p * tp
+    (qp_, kp_, vp_, tpj, km, iv, qpf, oh), (tqp, tkp, cp, e_p, ed_p, p) = \
+        _prep(((b, h, tq_real, dh), tk_real, e), q, k, v, t, key_mask,
+              intervals, qpos, onehot)
+    hp, nq, nk = h // p, p * tqp, p * tkp
     wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p,
                                       e_p, q.dtype)
     gop = jnp.pad(go.astype(jnp.float32),
-                  ((0, 0), (0, 0), (0, tp - t_real), (0, cp - dh))
-                  ).reshape(b, hp, n, cp)
+                  ((0, 0), (0, 0), (0, tqp - tq_real), (0, cp - dh))
+                  ).reshape(b, hp, nq, cp)
     glp = jnp.pad(gl.astype(jnp.float32),
-                  ((0, 0), (0, 0), (0, tp - t_real), (0, e_p - e))
-                  ).reshape(b, hp, n, e_p)
+                  ((0, 0), (0, 0), (0, tqp - tq_real), (0, e_p - e))
+                  ).reshape(b, hp, nq, e_p)
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
-    bb = _auto_bb(b, h, tp, ed_p, _BWD_LIVE, _BWD_BUDGET)
+    bb = _auto_bb(b, h, tqp, ed_p, _BWD_LIVE, _BWD_BUDGET)
 
     kernel = functools.partial(
         _bwd_kernel, scale=1.0 / dh ** 0.5, causal=causal,
         diag_reset=diag_reset, dropout_rate=dropout_rate,
-        t_real=t_real, tp=tp, dh=dh, num_events=e, ed_p=ed_p, e_p=e_p,
-        num_b=b // bb)
+        tk_real=tk_real, tqp=tqp, tkp=tkp, dh=dh, num_events=e, ed_p=ed_p,
+        e_p=e_p, num_b=b // bb)
 
-    in_specs = _specs(bb, hp, n, cp, e_p, ed_p) + [
-        pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),   # go
-        pl.BlockSpec((bb, hp, n, e_p), lambda i: (i, 0, 0, 0)),  # gl
+    in_specs = _specs(bb, hp, nq, nk, cp, e_p, ed_p) + [
+        pl.BlockSpec((bb, hp, nq, cp), lambda i: (i, 0, 0, 0)),   # go
+        pl.BlockSpec((bb, hp, nq, e_p), lambda i: (i, 0, 0, 0)),  # gl
     ]
     outs = pl.pallas_call(
         kernel,
         grid=(b // bb,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, hp, n, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, nq, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),
             pl.BlockSpec((1, ed_p), lambda i: (0, 0)),
             pl.BlockSpec((1, ed_p), lambda i: (0, 0)),
             pl.BlockSpec((1, e_p), lambda i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hp, n, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp, n, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp, n, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp, n, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, nq, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, nk, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, nk, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, nk, cp), jnp.float32),
             jax.ShapeDtypeStruct((cp, ed_p), jnp.float32),
             jax.ShapeDtypeStruct((1, ed_p), jnp.float32),
             jax.ShapeDtypeStruct((1, ed_p), jnp.float32),
@@ -581,51 +647,62 @@ def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
             # compiler cap, not the physical VMEM
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(seed, qp, kp, vp, tpj, km, iv, oh, wdp, bdp, wfp, scp, gop, glp)
+    )(seed, qp_, kp_, vp_, tpj, km, iv, qpf, oh, wdp, bdp, wfp, scp, gop,
+      glp)
     dq, dk, dv, dt, dwd, dbd, dwf, dsc = outs
 
-    def unpad(xx):
-        xx = xx.reshape(b, h, tp, cp)
-        return xx[:, :, :t_real, :dh].astype(q.dtype)
+    def unpad_q(xx):
+        xx = xx.reshape(b, h, tqp, cp)
+        return xx[:, :, :tq_real, :dh].astype(q.dtype)
+
+    def unpad_k(xx):
+        xx = xx.reshape(b, h, tkp, cp)
+        return xx[:, :, :tk_real, :dh].astype(q.dtype)
 
     dwd_out = dwd[:dh + 1, :e * dh].astype(wd.dtype)
     dbd_out = dbd[0, :e * dh].astype(bd.dtype)
     dw_out = dwf[0, :e * dh].reshape(e, dh).astype(w.dtype)
     dsc_out = dsc[0, :e].astype(scaling.dtype)
-    return (unpad(dq), unpad(dk), unpad(dv), unpad(dt),
+    return (unpad_q(dq), unpad_k(dk), unpad_k(dv), unpad_k(dt),
             jnp.zeros_like(key_mask), jnp.zeros_like(intervals),
-            jnp.zeros_like(onehot), dwd_out, dbd_out, dw_out, dsc_out,
+            jnp.zeros_like(onehot), jnp.zeros_like(qpos), dwd_out, dbd_out,
+            dw_out, dsc_out,
             jnp.zeros_like(jnp.asarray(dropout_seed)))
 
 
-mau_attention.defvjp(_mau_fwd, _mau_bwd)
+_mau_attention.defvjp(_mau_fwd, _mau_bwd)
 
 
 def mau_attention_reference(q, k, v, t, key_mask, intervals, onehot,
                             wd, bd, w, scaling, *, causal=False,
-                            diag_reset=False, dropout_rate=0.0):
+                            diag_reset=False, dropout_rate=0.0, qpos=None):
     """Pure-jnp parity implementation (no dropout support — parity tests run
     at rate 0; the kernel's TPU-PRNG dropout is validated statistically)."""
     assert dropout_rate == 0.0
-    b, h, t_real, dh = q.shape
+    b, h, tq_real, dh = q.shape
+    tk_real = k.shape[2]
     e = w.shape[0]
+    if qpos is None:
+        qpos = jnp.broadcast_to(jnp.arange(tq_real)[None], (b, tq_real))
+    qpos = qpos.astype(jnp.int32)
+    kpos = jnp.arange(tk_real, dtype=jnp.int32)
     scale = 1.0 / dh ** 0.5
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
     s = jnp.where(key_mask[:, None, None, :] != 0, s, NEG)
     if causal:
-        tril = jnp.tril(jnp.ones((t_real, t_real), bool))
-        s = jnp.where(tril[None, None], s, NEG)
+        keep = kpos[None, None, None, :] <= qpos[:, None, :, None]
+        s = jnp.where(keep, s, NEG)
     probs = jax.nn.softmax(s, axis=-1)
     seq_units = jnp.einsum("bhqk,bhkd->bhqd", probs, t,
                            preferred_element_type=jnp.float32)
     x = jnp.concatenate(
         [seq_units, jnp.broadcast_to(intervals[:, None, :, None],
-                                     (b, h, t_real, 1))], axis=-1)
+                                     (b, h, tq_real, 1))], axis=-1)
     z = jnp.einsum("bhqc,cd->bhqd", x, wd,
                    preferred_element_type=jnp.float32)
     sig = jax.nn.sigmoid(z + bd)
-    raw = jnp.einsum("bhqed,ed->bhqe", sig.reshape(b, h, t_real, e, dh), w,
+    raw = jnp.einsum("bhqed,ed->bhqe", sig.reshape(b, h, tq_real, e, dh), w,
                      preferred_element_type=jnp.float32)
     sc = jnp.exp(scaling)
     lam = sc * jax.nn.softplus(raw / sc)
@@ -633,8 +710,8 @@ def mau_attention_reference(q, k, v, t, key_mask, intervals, onehot,
                               onehot.astype(jnp.float32),
                               preferred_element_type=jnp.float32)
     if diag_reset:
-        eye = jnp.eye(t_real, dtype=bool)
-        intensity_qk = jnp.where(eye[None, None], 1.0, intensity_qk)
+        is_diag = kpos[None, None, None, :] == qpos[:, None, :, None]
+        intensity_qk = jnp.where(is_diag, 1.0, intensity_qk)
     out = jnp.einsum("bhqk,bhkd->bhqd", intensity_qk * probs, v,
                      preferred_element_type=jnp.float32)
     return out, lam

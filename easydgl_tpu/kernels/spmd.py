@@ -81,28 +81,36 @@ def catalog_nll_spmd(hidden, table, bias, labels, mesh,
 
 def mau_attention_spmd(q, k, v, t, key_mask, intervals, onehot,
                        wd, bd, w, scaling, seed, mesh,
-                       causal: bool, diag_reset: bool, dropout_rate: float):
+                       causal: bool, diag_reset: bool, dropout_rate: float,
+                       qpos=None):
     """Data-sharded fused MAU/BiMAU attention (see kernels/mau_attention).
 
     Batch (dim 0 of q/k/v/t/key_mask/intervals/onehot) must divide by the
     data-axis size; weights are replicated. The per-shard dropout seed is
     offset by the shard index so no two shards reuse a PRNG stream.
+    ``qpos``: optional (B, Tq) original positions of gathered query rows
+    (rides the data axis like the other per-row tensors).
     """
     data_ax = mesh.axis_names[0]
+    if qpos is None:
+        b, _, tq, _ = q.shape
+        qpos = jnp.broadcast_to(
+            jnp.arange(tq, dtype=jnp.float32)[None], (b, tq))
 
-    def local(q_, k_, v_, t_, km_, iv_, oh_, wd_, bd_, w_, sc_, seed_):
+    def local(q_, k_, v_, t_, km_, iv_, oh_, qp_, wd_, bd_, w_, sc_, seed_):
         di = jax.lax.axis_index(data_ax)
         shard_seed = seed_ + (di + 1) * jnp.int32(104729)
         return mau_attention(q_, k_, v_, t_, km_, iv_, oh_, wd_, bd_, w_,
                              sc_, shard_seed, causal, diag_reset,
-                             dropout_rate)
+                             dropout_rate, qpos=qp_)
 
     d4 = P(data_ax, None, None, None)
     return jax.shard_map(
         local, mesh=mesh, check_vma=False,
         in_specs=(d4, d4, d4, d4, P(data_ax, None), P(data_ax, None),
-                  P(data_ax, None, None), P(None, None), P(None),
-                  P(None, None), P(None), P()),
+                  P(data_ax, None, None), P(data_ax, None), P(None, None),
+                  P(None), P(None, None), P(None), P()),
         out_specs=(d4, d4))(
-        q, k, v, t, key_mask, intervals, onehot, wd, bd, w, scaling,
+        q, k, v, t, key_mask, intervals, onehot,
+        qpos.astype(jnp.float32), wd, bd, w, scaling,
         jnp.asarray(seed, jnp.int32))

@@ -46,6 +46,15 @@ class EasyDGL(SequentialModel):
     loss_mode: str = "softmax_eps"
     uses_tpp: bool = True
     mark_codes_matmul: bool = False
+    # OPT-IN approximate fast path (~5x fewer final-block query rows at
+    # train, L x fewer at eval): compute the final block's attention for
+    # ONLY the prediction rows. NOT reference-exact: the reference's
+    # ContribLayerNorm takes moments over ALL (T, C) positions
+    # (Base.py:50-52, begin_norm_axis=1), so dropping non-prediction rows
+    # before the block's LayerNorms changes the normalization statistics.
+    # Default False — the benchmark and parity paths run the faithful
+    # full-length computation.
+    gather_queries: bool = False
 
     @property
     def vocab_size(self) -> int:
@@ -88,19 +97,47 @@ class EasyDGL(SequentialModel):
         x = nn.Dropout(cfg.hidden_dropout_rate, deterministic=det)(x)
         key_mask = (ids != 0).astype(jnp.float32)
 
+        # Query-gather fast path: everything after the final block's
+        # attention is position-wise and the loss/eval only consume the
+        # prediction rows (masked positions at train, last position at
+        # eval — reference EasyDGL.py:141-143, Base.py:169), so the FINAL
+        # block computes attention for ONLY those query rows. Attention
+        # rows are independent given K/V, so this is numerically identical
+        # to full-length attention followed by the gather, while the
+        # dominant per-query intensity-head cost shrinks by masklen/L
+        # (or 1/L at eval).
+        mpos = features.get("masked_positions")
+        gathered = False
+        qpos_last = None
+        if self.gather_queries:
+            if is_training and mpos is not None \
+                    and mpos.shape[1] < self.model_seqslen:
+                qpos_last = mpos.astype(jnp.int32)
+            elif not is_training:
+                qpos_last = jnp.full((ids.shape[0], 1),
+                                     self.model_seqslen - 1, jnp.int32)
+
         intensities = []
         for i in range(cfg.num_blocks):
             from easydgl_tpu.models.base import kernel_enabled
+            last = i == cfg.num_blocks - 1
+            qpos = qpos_last if last else None
             attn = BiMAU(cfg.num_units, cfg.num_heads, cfg.num_events,
                          cfg.attention_probs_dropout_rate,
                          intensity_impl=("fused" if kernel_enabled(cfg)
                                          else "xla"),
                          name=f"block{i}_bimau")
-            a, intny = attn(x, x, key_mask, spans, marks, deterministic=det)
+            a, intny = attn(x, x, key_mask, spans, marks, deterministic=det,
+                            query_positions=qpos)
+            if qpos is not None:
+                x_res = jnp.take_along_axis(x, qpos[:, :, None], axis=1)
+                gathered = True
+            else:
+                x_res = x
             a = Dense(cfg.num_units, name=f"block{i}_attn_out")(a)
             a = nn.Dropout(cfg.hidden_dropout_rate, deterministic=det)(a)
             a = ContribLayerNorm(name=f"block{i}_ln0")(
-                a + x[:, :, :cfg.num_units])
+                a + x_res[:, :, :cfg.num_units])
             m = gelu_exact(Dense(2 * cfg.num_units, name=f"block{i}_inter")(a))
             o = Dense(cfg.num_units, name=f"block{i}_out")(m)
             o = nn.Dropout(cfg.hidden_dropout_rate, deterministic=det)(o)
@@ -110,8 +147,11 @@ class EasyDGL(SequentialModel):
         x = gelu_exact(Dense(cfg.num_units, name="transform")(x))
         x = ContribLayerNorm(name="transform_ln")(x)
 
-        hidden = prediction_rows(x, is_training,
-                                 features.get("masked_positions"))
+        if gathered:
+            # rows are ALREADY the prediction rows
+            hidden = x.reshape(-1, x.shape[-1])
+        else:
+            hidden = prediction_rows(x, is_training, mpos)
         bias = OutputBias(self.vocab_size, name="out_bias")()
         table = item_embs.table()
         aux = {INTENSITIES: tuple(intensities),
@@ -134,8 +174,15 @@ class EasyDGL(SequentialModel):
             onehot, (onehot.shape[0], h) + onehot.shape[2:])
         reg = 0.0
         for intny in aux[INTENSITIES]:
-            gathered = jnp.take_along_axis(
-                intny, pos[:, None, :, None], axis=2)         # (B, H, M, E)
+            if intny.shape[2] == pos.shape[1]:
+                # final-block intensities arrive pre-gathered at the masked
+                # positions (gather_queries fast path); masklen < seqslen+1
+                # is enforced at the gather site, so the shapes can't
+                # collide with a full-length block
+                gathered = intny
+            else:
+                gathered = jnp.take_along_axis(
+                    intny, pos[:, None, :, None], axis=2)     # (B, H, M, E)
             reg = reg + cfg.ct_reg * MAU.biased_likelihood(
                 gathered, onehot, spans) / h
         return reg

@@ -39,14 +39,20 @@ from easydgl_tpu.nn.layers import (mxu_einsum,
 normal002 = nn.initializers.normal(stddev=0.02)
 
 
-def _mask_logits(logits, key_mask, causal):
+def _mask_logits(logits, key_mask, causal, qpos=None):
+    """qpos: optional (B, Tq) ORIGINAL positions of (gathered) query rows;
+    the causal horizon is then col <= qpos instead of the square tril."""
     if key_mask is not None:
         logits = jnp.where(key_mask.astype(bool)[:, None, None, :],
                            logits, NEG_INF_LOGIT)
     if causal:
         tq, tk = logits.shape[-2], logits.shape[-1]
-        tril = jnp.tril(jnp.ones((tq, tk), bool))
-        logits = jnp.where(tril[None, None], logits, NEG_INF_LOGIT)
+        if qpos is None:
+            keep = jnp.tril(jnp.ones((tq, tk), bool))[None, None]
+        else:
+            keep = (jnp.arange(tk)[None, None, None, :]
+                    <= qpos[:, None, :, None])
+        logits = jnp.where(keep, logits, NEG_INF_LOGIT)
     return logits
 
 
@@ -260,19 +266,41 @@ class MAU(nn.Module):
         return -(event_ll - non_event_ll) / num_events
 
     def __call__(self, queries, keys, key_mask, intervals, mark_onehot, *,
-                 deterministic: bool, causality: Optional[bool] = None
+                 deterministic: bool, causality: Optional[bool] = None,
+                 query_positions: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """key_mask: (B, Tk) — nonzero where the key position is valid
         (the reference receives it pre-tiled to (h*N, Tq, Tk); models build
-        it from ``seqs_id != 0``)."""
+        it from ``seqs_id != 0``).
+
+        query_positions: optional (B, M) int positions — compute attention
+        for ONLY those query rows (attention rows are independent, so
+        out[:, i] equals the full computation's row query_positions[:, i]
+        exactly). Queries/intervals stay FULL-length; the gather happens
+        after the projections (gather-of-projection == projection-of-gather
+        for a row-wise Dense). This is the masked-training / last-position-
+        eval fast path: every per-query cost — above all the (rows, E*dh)
+        intensity head — shrinks by M/Tq.
+        """
         h = self.num_heads
         causality = self.causal_default if causality is None else causality
+        gathered = query_positions is not None
         if self.fused_qkvt:
-            qkvt = self.qkvt(queries)
+            # queries is keys for BiMAU/MGAU self-attention; project once
+            qkvt = self.qkvt(keys if gathered else queries)
             qq, kk, vv, tt = jnp.split(qkvt, 4, axis=-1)
         else:
             qq, kk = self.q_proj(queries), self.k_proj(keys)
             vv, tt = self.v_proj(keys), self.t_proj(keys)
+        if gathered:
+            qpos_i = query_positions.astype(jnp.int32)
+            qq = jnp.take_along_axis(qq, qpos_i[:, :, None], axis=1)
+            q_res = jnp.take_along_axis(
+                queries, qpos_i[:, :, None], axis=1)[:, :, :self.num_units]
+            intervals = jnp.take_along_axis(intervals, qpos_i, axis=1)
+        else:
+            qpos_i = None
+            q_res = queries[:, :, :self.num_units]
         q, k = split_heads(qq, h), split_heads(kk, h)
         v, t = split_heads(vv, h), split_heads(tt, h)
         d = q.shape[-1]
@@ -298,19 +326,19 @@ class MAU(nn.Module):
                     mark_onehot.astype(jnp.float32),
                     self.intensity_kernel, self.intensity_bias,
                     self.intensity_weight, self.intensity_scaling, seed,
-                    mesh, causality, self.diag_reset, rate)
+                    mesh, causality, self.diag_reset, rate, qpos=qpos_i)
             else:
                 out4, mark_intensity = mau_attention(
                     q, k, v, t, key_mask, intervals,
                     mark_onehot.astype(jnp.float32),
                     self.intensity_kernel, self.intensity_bias,
                     self.intensity_weight, self.intensity_scaling, seed,
-                    causality, self.diag_reset, rate)
-            out = merge_heads(out4) + queries[:, :, :self.num_units]
+                    causality, self.diag_reset, rate, qpos=qpos_i)
+            out = merge_heads(out4) + q_res
             return out, mark_intensity
 
         logits = mxu_einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
-        logits = _mask_logits(logits, key_mask, causality)
+        logits = _mask_logits(logits, key_mask, causality, qpos=qpos_i)
         probs = jax.nn.softmax(logits, axis=-1)
 
         seq_units = mxu_einsum("bhqk,bhkd->bhqd", probs, t)
@@ -318,14 +346,18 @@ class MAU(nn.Module):
             seq_units, intervals, mark_onehot)
 
         if self.diag_reset:  # BiMAU (temporal.py:438-439)
-            tq = intensity_qk.shape[-2]
-            eye = jnp.eye(tq, dtype=bool)
-            intensity_qk = jnp.where(eye[None, None], 1.0, intensity_qk)
+            tq, tk = intensity_qk.shape[-2], intensity_qk.shape[-1]
+            if qpos_i is None:
+                is_diag = jnp.eye(tq, dtype=bool)[None, None]
+            else:
+                is_diag = (jnp.arange(tk)[None, None, None, :]
+                           == qpos_i[:, None, :, None])
+            intensity_qk = jnp.where(is_diag, 1.0, intensity_qk)
 
         modulated = intensity_qk * probs
         modulated = self.dropout(modulated, deterministic=deterministic)
         out = mxu_einsum("bhqk,bhkd->bhqd", modulated, v)
-        out = merge_heads(out) + queries[:, :, :self.num_units]
+        out = merge_heads(out) + q_res
         return out, mark_intensity
 
 

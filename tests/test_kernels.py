@@ -333,3 +333,85 @@ def test_mau_module_fused_equals_xla(rng, bimau):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_x),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("causal,diag", [(True, False), (False, True)])
+def test_mau_attention_gathered_queries(rng, causal, diag):
+    """Rectangular query-gather path: the kernel with Tq < Tk and explicit
+    qpos must equal the FULL square computation's rows at those positions —
+    forward, intensities, and every gradient (kv-side grads scatter back
+    from only the gathered rows)."""
+    from easydgl_tpu.kernels import mau_attention as MA
+    q, k, v, t, km, iv, oh, wd, bd, w, sc = _mau_data(rng, b=4, t=7)
+    qpos = jnp.asarray(np.stack([np.sort(rng.choice(7, 3, replace=False))
+                                 for _ in range(4)]).astype(np.int32))
+    qg = jnp.take_along_axis(q, qpos[:, None, :, None], axis=2)
+    ivg = jnp.take_along_axis(iv, qpos, axis=1)
+
+    ok, lk = MA.mau_attention(qg, k, v, t, km, ivg, oh, wd, bd, w, sc,
+                              0, causal, diag, 0.0, qpos=qpos)
+    # reference: full square chain, then gather the rows
+    orf, lrf = MA.mau_attention_reference(q, k, v, t, km, iv, oh, wd, bd,
+                                          w, sc, causal=causal,
+                                          diag_reset=diag)
+    orf = jnp.take_along_axis(orf, qpos[:, None, :, None], axis=2)
+    lrf = jnp.take_along_axis(lrf, qpos[:, None, :, None], axis=2)
+    np.testing.assert_allclose(np.asarray(ok), np.asarray(orf),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lk), np.asarray(lrf),
+                               rtol=1e-5, atol=1e-5)
+
+    # grads: rectangular jnp reference (qpos-aware) vs the kernel
+    def loss_k(a):
+        o, l = MA.mau_attention(jnp.take_along_axis(
+            a[0], qpos[:, None, :, None], axis=2), a[1], a[2], a[3], km,
+            ivg, oh, a[4], a[5], a[6], a[7], 0, causal, diag, 0.0,
+            qpos=qpos)
+        return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(l))
+
+    def loss_r(a):
+        o, l = MA.mau_attention_reference(
+            jnp.take_along_axis(a[0], qpos[:, None, :, None], axis=2),
+            a[1], a[2], a[3], km, ivg, oh, a[4], a[5], a[6], a[7],
+            causal=causal, diag_reset=diag, qpos=qpos)
+        return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(l))
+
+    a = (q, k, v, t, wd, bd, w, sc)
+    gk = jax.grad(loss_k)(a)
+    gr = jax.grad(loss_r)(a)
+    for x, y, name in zip(gk, gr, ("dq", "dk", "dv", "dt", "dwd", "dbd",
+                                   "dw", "dscaling")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("impl", ["xla", "fused"])
+def test_mau_module_query_positions(rng, impl):
+    """MAU module query_positions fast path == full path gathered at those
+    rows (both XLA and fused kernel implementations)."""
+    from easydgl_tpu.nn.temporal import BiMAU
+    b, t, c, h, e = 3, 7, 16, 2, 5
+    x = jnp.asarray(rng.randn(b, t, 2 * c).astype(np.float32))
+    km = jnp.asarray((rng.rand(b, t) > 0.3).astype(np.float32))
+    km = km.at[:, -2:].set(1.0)
+    iv = jnp.asarray(rng.rand(b, t).astype(np.float32))
+    oh = jnp.asarray((rng.rand(b, t, e) > 0.5).astype(np.float32))
+    qpos = jnp.asarray(np.stack([np.sort(rng.choice(t, 3, replace=False))
+                                 for _ in range(b)]).astype(np.int32))
+
+    mod = BiMAU(c, h, e, 0.0, intensity_impl=impl)
+    params = mod.init(jax.random.key(0), x, x, km, iv, oh,
+                      deterministic=True)
+    o_full, l_full = mod.apply(params, x, x, km, iv, oh,
+                               deterministic=True)
+    o_g, l_g = mod.apply(params, x, x, km, iv, oh, deterministic=True,
+                         query_positions=qpos)
+    np.testing.assert_allclose(
+        np.asarray(o_g),
+        np.asarray(jnp.take_along_axis(o_full, qpos[:, :, None], axis=1)),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(l_g),
+        np.asarray(jnp.take_along_axis(l_full, qpos[:, None, :, None],
+                                       axis=2)),
+        rtol=1e-5, atol=1e-5)

@@ -140,3 +140,38 @@ def test_easydgl_diag_reset():
     assert bim.diag_reset and bim.fused_qkvt and not bim.causal_default
     mg = MGAU(8, 2, 3)
     assert not mg.diag_reset and mg.fused_qkvt
+
+
+@pytest.mark.parametrize("training", [True, False])
+def test_easydgl_query_gather_mode(training):
+    """The OPT-IN query-gather approximation (gather_queries=True): the
+    reference's ContribLayerNorm couples sequence positions through its
+    (T, C) moments, so logits are only approximately equal to the faithful
+    path — but the final block's INTENSITIES are computed before any LN and
+    must match the gathered full-length intensities exactly."""
+    cfg = tiny_cfg("EasyDGL").replace(hidden_dropout_rate=0.0,
+                                      attention_probs_dropout_rate=0.0)
+    slow = build_model(cfg)
+    assert not slow.gather_queries       # approximate mode must be opt-in
+    fast = type(slow)(cfg=cfg, gather_queries=True)
+    tr, ev = loaders_for(slow, cfg)
+    features, labels, _ = next((tr if training else ev).epoch(0))
+    feats = {k: jnp.asarray(v) for k, v in features.items()}
+    params = slow.init({"params": jax.random.key(0),
+                        "dropout": jax.random.key(1)},
+                       feats, is_training=training)
+    fast_logits, fast_aux = fast.apply(params, feats, is_training=training)
+    slow_logits, slow_aux = slow.apply(params, feats, is_training=training)
+    assert fast_logits.shape == slow_logits.shape
+    assert np.isfinite(np.asarray(fast_logits)).all()
+    # LN-statistics drift only — the two paths stay in the same ballpark
+    assert float(jnp.max(jnp.abs(fast_logits[:, 1:]
+                                 - slow_logits[:, 1:]))) < 5.0
+    if training:
+        pos = feats["masked_positions"].astype(jnp.int32)
+        last_full = slow_aux["intensities"][-1]
+        np.testing.assert_allclose(
+            np.asarray(fast_aux["intensities"][-1]),
+            np.asarray(jnp.take_along_axis(last_full,
+                                           pos[:, None, :, None], axis=2)),
+            rtol=2e-5, atol=2e-5)
