@@ -68,7 +68,7 @@ def main():
 
     state = init_state(model, batches[0][0], seed=0)
     step = build_train_step(model, donate=False)
-    rng = jax.random.key(0)
+    rng = jax.random.key(0, impl=cfg.resolved_prng_impl())
 
     # warmup / compile
     state, loss = step(state, *batches[0], rng)

@@ -101,9 +101,21 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"    # set "bfloat16" for throughput runs
     use_pallas: Optional[bool] = None  # None = auto (True on TPU)
+    # dropout PRNG: "auto" = the hardware rbg generator on TPU (threefry's
+    # per-step u32 fusions cost ~0.7 ms/step at the flagship shape),
+    # threefry2x32 elsewhere (keeps CPU goldens/determinism fixtures
+    # stable). Both are deterministic functions of the seed.
+    prng_impl: str = "auto"
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    def resolved_prng_impl(self) -> str:
+        if self.prng_impl != "auto":
+            return self.prng_impl
+        import jax
+        return ("rbg" if jax.default_backend() not in ("cpu",)
+                else "threefry2x32")
 
     @property
     def head_dim(self) -> int:

@@ -257,7 +257,7 @@ def _block_drop_mask(seed0, bb: int, shape_per_row, rate: float):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
                 qp_ref, oh_ref, wd_ref, bd_ref, wf_ref, sc_ref,
-                out_ref, lam_ref, *,
+                out_ref, lam_ref, probs_ref, raw_ref, *,
                 scale, causal, diag_reset, dropout_rate, tk_real, tqp, tkp,
                 dh, num_events, ed_p, e_p):
     bb, hp, nq, cp = q_ref.shape
@@ -269,9 +269,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
                          tk_real=tk_real, tqp=tqp, tkp=tkp)
     wf = wf_ref[:]
     sel_w = _sel_matrix(num_events, dh, ed_p, e_p) * wf[:, None]
-    lam, _, _, _ = _intensity_block(probs, t, iv, wd_ref[:],
-                                    bd_ref[:], wf, sel_w, sc_ref[:],
-                                    dh=dh)
+    lam, raw, _, _ = _intensity_block(probs, t, iv, wd_ref[:],
+                                      bd_ref[:], wf, sel_w, sc_ref[:],
+                                      dh=dh)
     _, modulated = _modulation(lam, oh, probs, qp, diag_reset=diag_reset,
                                tqp=tqp, tkp=tkp)
     if dropout_rate > 0.0:
@@ -282,10 +282,16 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         preferred_element_type=jnp.float32)
     out_ref[...] = out.reshape(bb, hp, nq, cp)
     lam_ref[...] = lam.reshape(bb, hp, nq, e_p)
+    # residuals for the backward (~134 MB at the flagship shape, a ~0.3 ms
+    # HBM round-trip that lets the backward skip the QK^T/softmax recompute
+    # AND the 137-GFLOP selector matmul — only z/sigmoid are recomputed)
+    probs_ref[...] = probs.reshape(bb, hp, nq, nk)
+    raw_ref[...] = raw.reshape(bb, hp, nq, e_p)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
-                qp_ref, oh_ref, wd_ref, bd_ref, wf_ref, sc_ref, go_ref,
+                qp_ref, oh_ref, wd_ref, bd_ref, wf_ref, sc_ref,
+                probs_ref, raw_ref, go_ref,
                 gl_ref, dq_ref, dk_ref, dv_ref, dt_ref, dwd_ref, dbd_ref,
                 dwf_ref, dsc_ref, dwd_acc, dbd_acc, dwf_acc, dsc_acc, *,
                 scale, causal, diag_reset, dropout_rate, tk_real, tqp, tkp,
@@ -304,12 +310,25 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     q, k, v, t, km, iv, qp, onehot = _merge_inputs(
         q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref, qp_ref, oh_ref)
     wd, bd, wf, sc = wd_ref[:], bd_ref[:], wf_ref[:], sc_ref[:]
-    # ---- recompute forward tile
-    probs = _probs_block(q, k, km, qp, scale=scale, causal=causal,
-                         tk_real=tk_real, tqp=tqp, tkp=tkp)
+    # ---- forward tile from stored residuals (probs/raw saved by the
+    # forward, so the expensive QK^T/softmax pass and the 137-GFLOP
+    # selector matmul are NOT recomputed); only z/sigmoid — too large to
+    # stash (1 GB+ at the flagship shape) — are recomputed below.
+    probs = probs_ref[...].reshape(bb * hp, nq, nk)
+    raw = raw_ref[...].reshape(bb * hp, nq, e_p)
     sel = _sel_matrix(num_events, dh, ed_p, e_p)
-    lam, raw, sig, x = _intensity_block(probs, t, iv, wd, bd, wf,
-                                        sel * wf[:, None], sc, dh=dh)
+    cdt0 = t.dtype
+    seq_units = jax.lax.dot_general(
+        probs.astype(cdt0), t, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (G, Tq, Cp)
+    colx = jax.lax.broadcasted_iota(jnp.int32, (nq, cp), 1)
+    x = seq_units + jnp.where((colx == dh)[None], 1.0, 0.0) * iv[:, :, None]
+    x2r = x.reshape(bb * hp * nq, cp)
+    z = jax.lax.dot(x2r.astype(cdt0), wd,
+                    preferred_element_type=jnp.float32)
+    sig = jax.nn.sigmoid(z + bd[None, :]).astype(cdt0)   # (G*Tq, EDp)
+    s_sc = jnp.exp(sc)[None, None, :]
+    lam = s_sc * jax.nn.softplus(raw / s_sc)
     intensity_qk, _ = _modulation(lam, onehot, probs, qp,
                                   diag_reset=diag_reset, tqp=tqp, tkp=tkp)
 
@@ -495,7 +514,9 @@ def _specs(bb, hp, nq, nk, cp, e_p, ed_p):
 # backward ~6 (those plus dsw, dz, dx products). v5e VMEM is 128MB;
 # leave headroom for weights, accumulators and double-buffered blocks.
 _FWD_LIVE, _FWD_BUDGET = 3, 56 * 1024 * 1024
-_BWD_LIVE, _BWD_BUDGET = 6, 72 * 1024 * 1024
+# the residual-stashed backward recomputes only z/sig; its live (rows, EDp)
+# set is z, sig, dsw, dz (+ one product in flight)
+_BWD_LIVE, _BWD_BUDGET = 5, 88 * 1024 * 1024
 _VMEM_LIMIT = 110 * 1024 * 1024
 
 
@@ -556,16 +577,20 @@ def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w,
         tk_real=tk_real, tqp=tqp, tkp=tkp, dh=dh, num_events=e, ed_p=ed_p,
         e_p=e_p)
 
-    out, lam = pl.pallas_call(
+    out, lam, probs, raw = pl.pallas_call(
         kernel,
         grid=(b // bb,),
         in_specs=_specs(bb, hp, nq, nk, cp, e_p, ed_p),
         out_specs=[
             pl.BlockSpec((bb, hp, nq, cp), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((bb, hp, nq, e_p), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, nq, nk), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, hp, nq, e_p), lambda i: (i, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hp, nq, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, nq, e_p), jnp.float32),
+            jax.ShapeDtypeStruct((b, hp, nq, nk), jnp.float32),
             jax.ShapeDtypeStruct((b, hp, nq, e_p), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -574,7 +599,7 @@ def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w,
         interpret=interpret,
     )(seed, qp_, kp_, vp_, tpj, km, iv, qpf, oh, wdp, bdp, wfp, scp)
     res = (q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w,
-           scaling, dropout_seed)
+           scaling, dropout_seed, probs, raw)
     out = out.reshape(b, h, tqp, cp)
     lam = lam.reshape(b, h, tqp, e_p)
     return (out[:, :, :tq_real, :dh], lam[:, :, :tq_real, :e]), res
@@ -582,7 +607,7 @@ def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w,
 
 def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
     (q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w, scaling,
-     dropout_seed) = res
+     dropout_seed, probs_res, raw_res) = res
     go, gl = grads
     b, h, tq_real, dh = q.shape
     tk_real = k.shape[2]
@@ -609,6 +634,8 @@ def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
         e_p=e_p, num_b=b // bb)
 
     in_specs = _specs(bb, hp, nq, nk, cp, e_p, ed_p) + [
+        pl.BlockSpec((bb, hp, nq, nk), lambda i: (i, 0, 0, 0)),   # probs
+        pl.BlockSpec((bb, hp, nq, e_p), lambda i: (i, 0, 0, 0)),  # raw
         pl.BlockSpec((bb, hp, nq, cp), lambda i: (i, 0, 0, 0)),   # go
         pl.BlockSpec((bb, hp, nq, e_p), lambda i: (i, 0, 0, 0)),  # gl
     ]
@@ -647,8 +674,8 @@ def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
             # compiler cap, not the physical VMEM
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(seed, qp_, kp_, vp_, tpj, km, iv, qpf, oh, wdp, bdp, wfp, scp, gop,
-      glp)
+    )(seed, qp_, kp_, vp_, tpj, km, iv, qpf, oh, wdp, bdp, wfp, scp,
+      probs_res, raw_res, gop, glp)
     dq, dk, dv, dt, dwd, dbd, dwf, dsc = outs
 
     def unpad_q(xx):

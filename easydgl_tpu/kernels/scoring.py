@@ -28,6 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1.0e30
+# d_hidden accumulator budget for the fused single-recompute backward;
+# larger N falls back to the two-pass kernels
+_FUSED_BWD_VMEM_BYTES = 24 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -102,6 +105,68 @@ def _fwd_call(hidden, table, bias, labels, *, block_n: int, block_v: int):
 
 
 # ----------------------------------------------------------------- backward
+def _bwd_fused_kernel(h_ref, t_ref, b_ref, lab_ref, lse_ref, dl_ref,
+                      dll_ref, dh_ref, dt_ref, db_ref,
+                      dh_acc, t_acc, b_acc, *,
+                      block_n: int, block_v: int, num_n: int, num_v: int):
+    """One recompute pass emitting ALL THREE grads.
+
+    Grid (num_v OUTER, num_n INNER): d_table/d_bias accumulate across the
+    inner row loop in block-sized scratch (as the old table kernel did),
+    while d_hidden accumulates across the OUTER vocab loop in a full
+    (N_pad, C) scratch — N_pad*C*4 bytes is small (6.3 MB at the flagship
+    shape) because N = B*masklen. Each (vj, ni) tile recomputes the score
+    tile ONCE and feeds both matmuls, saving a whole recompute pass
+    (~58 GFLOP/step) + one full stream of the operands vs the previous
+    two-kernel backward. dh blocks are written every visit; the final
+    vocab pass overwrites them with the complete sums.
+    """
+    vj, ni = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(ni == 0)
+    def _init_tb():
+        t_acc[:] = jnp.zeros_like(t_acc)
+        b_acc[:] = jnp.zeros_like(b_acc)
+
+    h = h_ref[:]
+    t = t_ref[:]
+    s = jax.lax.dot_general(h, t, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + b_ref[:][None, :]
+    p = jnp.exp(s - lse_ref[:])                    # softmax tile (bn, bv)
+
+    labels = lab_ref[:]
+    local = labels - vj * block_v
+    bn, bv = s.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bn, bv), 1)
+    onehot = (cols == local).astype(jnp.float32)
+    g = dl_ref[:] * p + dll_ref[:] * onehot        # dlogits tile
+
+    sl = pl.dslice(ni * block_n, block_n)
+    contrib = jax.lax.dot(g.astype(t.dtype), t,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(vj == 0)
+    def _dh_first():
+        dh_acc[sl, :] = contrib
+
+    @pl.when(vj > 0)
+    def _dh_rest():
+        dh_acc[sl, :] += contrib
+
+    dh_ref[:] = dh_acc[sl, :]
+
+    t_acc[:] += jax.lax.dot_general(g.astype(h.dtype), h,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    b_acc[:] += jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(ni == num_n - 1)
+    def _store_tb():
+        dt_ref[:] = t_acc[:]
+        db_ref[:] = b_acc[:]
+
+
 def _bwd_hidden_kernel(h_ref, t_ref, b_ref, lab_ref, lse_ref, dl_ref,
                        dll_ref, dh_ref, acc, *, block_v: int, num_v: int):
     vj = pl.program_id(1)
@@ -219,6 +284,41 @@ def _catalog_bwd(block_n, block_v, res, grads):
     lse2 = jnp.pad(lse_p, (0, np_ - n))[:, None]
     dlse2 = jnp.pad(dlse, (0, np_ - n))[:, None]
     dll2 = jnp.pad(dll, (0, np_ - n))[:, None]
+
+    # fused single-recompute backward when the full (N_pad, C) d_hidden
+    # accumulator fits comfortably in VMEM (training N = B*masklen is
+    # small; huge-N callers fall back to the two-pass kernels below)
+    if np_ * c * 4 <= _FUSED_BWD_VMEM_BYTES:
+        dh, dt, db = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, block_n=block_n,
+                              block_v=block_v, num_n=num_n, num_v=num_v),
+            grid=(num_v, num_n),
+            in_specs=[
+                pl.BlockSpec((block_n, c), lambda j, i: (i, 0)),
+                pl.BlockSpec((block_v, c), lambda j, i: (j, 0)),
+                pl.BlockSpec((block_v,), lambda j, i: (j,)),
+                pl.BlockSpec((block_n, 1), lambda j, i: (i, 0)),
+                pl.BlockSpec((block_n, 1), lambda j, i: (i, 0)),
+                pl.BlockSpec((block_n, 1), lambda j, i: (i, 0)),
+                pl.BlockSpec((block_n, 1), lambda j, i: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((block_n, c), lambda j, i: (i, 0)),
+                pl.BlockSpec((block_v, c), lambda j, i: (j, 0)),
+                pl.BlockSpec((1, block_v), lambda j, i: (0, j)),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((np_, c), jnp.float32),
+                       jax.ShapeDtypeStruct((vp, c), jnp.float32),
+                       jax.ShapeDtypeStruct((1, vp), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((np_, c), jnp.float32),
+                            pltpu.VMEM((block_v, c), jnp.float32),
+                            pltpu.VMEM((1, block_v), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(hp, tp, bp, lab2, lse2, dlse2, dll2)
+        return (dh[:n].astype(hidden.dtype), dt[:v].astype(table.dtype),
+                db[0, :v].astype(bias.dtype), None)
 
     dh = pl.pallas_call(
         functools.partial(_bwd_hidden_kernel, block_v=block_v, num_v=num_v),

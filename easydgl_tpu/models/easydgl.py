@@ -94,7 +94,9 @@ class EasyDGL(SequentialModel):
             mcodes = counts * mark_embs.table()[1][None, None, :]
         x = jnp.concatenate([units, pos, mcodes], axis=-1)   # (B, L+1, 3C)
 
-        x = nn.Dropout(cfg.hidden_dropout_rate, deterministic=det)(x)
+        from easydgl_tpu.nn.layers import to_compute
+        x = nn.Dropout(cfg.hidden_dropout_rate,
+                       deterministic=det)(to_compute(x))
         key_mask = (ids != 0).astype(jnp.float32)
 
         # Query-gather fast path: everything after the final block's

@@ -78,6 +78,14 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def to_compute(x: jnp.ndarray) -> jnp.ndarray:
+    """Cast an activation to the active compute dtype (no-op in fp32 mode).
+    Used on wide intermediates whose only consumers are compute-dtype
+    matmuls/adds, so the cast changes HBM traffic, not results."""
+    dt = compute_dtype()
+    return x.astype(dt) if dt is not None else x
+
+
 def gelu_tanh(x):
     """Tanh-approximate GELU (reference: src/model/GREC.py:14-26)."""
     return jax.nn.gelu(x, approximate=True)
@@ -96,12 +104,18 @@ class ContribLayerNorm(nn.Module):
         dim = x.shape[-1]
         beta = self.param("beta", nn.initializers.zeros, (dim,))
         gamma = self.param("gamma", nn.initializers.ones, (dim,))
+        # mixed-precision policy: moments in fp32, output stored in the
+        # compute dtype (its consumers — matmuls — would cast it anyway;
+        # this halves the LN read/write passes, a measured hot spot)
+        cdt = compute_dtype()
+        xf = x.astype(jnp.float32)
         norm_axes = tuple(range(1, x.ndim))
-        mean = jnp.mean(x, axis=norm_axes, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=norm_axes, keepdims=True)
+        mean = jnp.mean(xf, axis=norm_axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=norm_axes, keepdims=True)
         inv = jax.lax.rsqrt(var + self.epsilon)
         # tf.nn.batch_normalization: (x - mean) * inv * gamma + beta
-        return (x - mean) * inv * gamma + beta
+        out = (xf - mean) * inv * gamma + beta
+        return out.astype(cdt) if cdt is not None else out
 
 
 class LastAxisLayerNorm(nn.Module):

@@ -135,7 +135,7 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
     else:
         train_step = build_train_step(model)
         eval_step = build_eval_step(model)
-    rng = jax.random.key(cfg.seed)
+    rng = jax.random.key(cfg.seed, impl=cfg.resolved_prng_impl())
 
     ckpt = Checkpointer(ckpt_dir) if ckpt_dir else None
     start_epoch = 0

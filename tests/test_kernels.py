@@ -415,3 +415,27 @@ def test_mau_module_query_positions(rng, impl):
         np.asarray(jnp.take_along_axis(l_full, qpos[:, None, :, None],
                                        axis=2)),
         rtol=1e-5, atol=1e-5)
+
+
+def test_catalog_nll_grads_twopass_fallback(rng, monkeypatch):
+    """The huge-N two-pass backward (taken when the fused kernel's d_hidden
+    accumulator would not fit VMEM) must match the reference too."""
+    import easydgl_tpu.kernels.scoring as S
+    hidden, table, bias, labels = _data(rng, n=8, c=8, v=32)
+    monkeypatch.setattr(S, "_FUSED_BWD_VMEM_BYTES", 0)
+
+    def loss_k(h, t, b):
+        lse, ll = S.catalog_nll(h, t, b, labels, 8, 16)
+        return jnp.sum(-jnp.log(jnp.exp(ll - lse) + 1e-5) *
+                       jnp.arange(1, 9))
+
+    def loss_r(h, t, b):
+        lse, ll = S.catalog_nll_reference(h, t, b, labels)
+        return jnp.sum(-jnp.log(jnp.exp(ll - lse) + 1e-5) *
+                       jnp.arange(1, 9))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(hidden, table, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(hidden, table, bias)
+    for a, b_, name in zip(gk, gr, ("dhidden", "dtable", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
