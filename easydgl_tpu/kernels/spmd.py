@@ -50,7 +50,7 @@ def catalog_nll_spmd(hidden, table, bias, labels, mesh,
                                block_n, block_v)
 
         return jax.shard_map(
-            local_rows, mesh=mesh,
+            local_rows, mesh=mesh, check_vma=False,
             in_specs=(P(data_ax, None), P(None, None), P(None), P(data_ax)),
             out_specs=(P(data_ax), P(data_ax)))(hidden, table, bias, labels)
 

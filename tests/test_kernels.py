@@ -99,35 +99,6 @@ def test_compute_loss_kernel_vs_xla(rng):
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
 
 
-@pytest.mark.parametrize("causal,with_bias,with_mask,with_mod", [
-    (False, False, False, False),
-    (True, False, True, False),
-    (True, True, True, False),
-    (False, False, True, True),
-])
-def test_fused_attention_parity(rng, causal, with_bias, with_mask, with_mod):
-    from easydgl_tpu.kernels.attention import (attention_reference,
-                                               fused_attention)
-    b, h, t, d = 2, 2, 7, 12
-    q = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
-    k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
-    v = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
-    bias = jnp.asarray(rng.randn(b, h, t, t).astype(np.float32)) \
-        if with_bias else None
-    key_mask = jnp.asarray(
-        (rng.rand(b, t) > 0.3).astype(np.float32)) if with_mask else None
-    if key_mask is not None:
-        key_mask = key_mask.at[:, 0].set(1.0)  # ensure a valid key exists
-    mod = jnp.asarray(np.abs(rng.randn(b, h, t, t)).astype(np.float32)) \
-        if with_mod else None
-    kw = dict(bias=bias, key_mask=key_mask, mod=mod, causal=causal,
-              diag_one=with_mod)
-    out = fused_attention(q, k, v, bh_tile=2, **kw)
-    ref = attention_reference(q, k, v, **kw)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
-
-
 def test_intensity_kernel_parity(rng):
     from easydgl_tpu.kernels.intensity import (intensity_raw,
                                                intensity_raw_reference)
