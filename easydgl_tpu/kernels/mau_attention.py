@@ -18,12 +18,24 @@ emits dq/dk/dv/dt per tile plus weight grads accumulated across the
 sequential grid. Dropout uses the TPU PRNG with a per-program seed, so the
 backward regenerates the identical mask without materializing it.
 
+NATURAL (B, T, C) WIRE FORMAT — q/k/v/t arrive exactly as the projections
+produce them (C = H*dh channels, head h in channel block [h*dh:(h+1)*dh],
+matching the reference's concat-on-batch head split, sequential.py:39-41),
+and out/dq/dk/dv/dt leave the same way. The head split, the MXU tile
+packing, and their inverses are VMEM register shuffles inside the kernel
+(lane rolls + concats), so XLA never materializes a transposed or
+channel-padded copy in HBM — at the flagship shape that removes ~1.3 ms of
+pure copy/pad traffic per step that the previous (B, H, T, dh) wire format
+forced (4 head-split transposes re-done in the backward, f32 grad
+relayouts, the E->128 cotangent pad). Only the sequence axis is padded by
+the caller (31 -> 32, one cheap fused pad per tensor).
+
 RECTANGULAR QUERIES — queries and keys may have different lengths. The
 caller may gather the query rows down to just the prediction positions
 (BERT-style masked training predicts ``masklen`` of ``L`` positions; eval
 predicts only the last) and pass the original positions via ``qpos``:
-attention rows are independent, so out[b,:,i,:] equals the full-length
-result's row ``qpos[b,i]`` exactly, while every per-query cost — the
+attention rows are independent, so out[b, i, :] equals the full-length
+result's row ``qpos[b, i]`` exactly, while every per-query cost — the
 dominant (rows, E*dh) intensity passes above all — shrinks by Tq/Tk.
 ``qpos`` (float32 ints) drives BOTH the causal mask (col <= qpos) and the
 BiMAU diagonal reset (col == qpos), so the square case (qpos = iota) is
@@ -36,19 +48,20 @@ full tiles:
 * BATCH BLOCKING — each program processes all H heads of BB rows with the
   leading (rows, heads) dims merged, so the big intensity matmuls see
   BB*H*Tq-row operands and per-program overhead is amortized.
-* TILE PACKING — p = 128/Tkp heads are packed per (p*Tkp)-col attention
-  operand (a byte-identical XLA reshape in ``_prep``), turning the tiny
-  per-head (Tqp, Tkp) QK^T/modulation/@V matmuls into near-full 128-wide
-  MXU tiles; cross-head tile entries are masked to PAD_NEG so their
-  softmax probabilities are EXACTLY zero and every contraction over keys
-  ignores them (forward and backward).
+* TILE PACKING — p = 128/Tkp heads are packed per (p*Tkp)-row attention
+  operand (in-VMEM sublane concat of lane-rolled head slices), turning the
+  tiny per-head (Tqp, Tkp) QK^T/modulation/@V matmuls into near-full
+  128-wide MXU tiles; cross-head tile entries are masked to PAD_NEG so
+  their softmax probabilities are EXACTLY zero and every contraction over
+  keys ignores them (forward and backward).
 
 Dropout is seeded PER BATCH ROW (seed + absolute row index) with a mask
 shape that depends only on (H, Tqp, Tkp), so the backward regenerates
 identical masks even at a different batch block size.
 
-``mau_attention_reference`` is the jnp parity implementation (same contract,
-materialized) used by the kernel parity tests.
+``mau_attention_reference`` is the jnp parity implementation (same math,
+materialized, in the conventional (B, H, T, dh) head layout) used by the
+kernel parity tests.
 """
 from __future__ import annotations
 
@@ -120,6 +133,65 @@ def _diag_mask(qp, nq: int, nk: int, tqp: int, tkp: int):
                          == qp[:, :, None])
 
 
+# ---------------------------------------------------------------------------
+# In-VMEM head split / merge (the wire format is (B, T, C)).
+# Mosaic rejects sublane concats of lane-slices at non-zero lane offsets
+# ("result/input offset mismatch on non-concat dimension"), so each head
+# block is first lane-ROLLED to offset 0; the rolls and concats are pure
+# register shuffles, far cheaper than the HBM transpose copies they replace.
+# ---------------------------------------------------------------------------
+
+
+def _split_pack(blk, dh: int, hp: int, p: int):
+    """(bb, tp, C=hp*p*dh) -> (g=bb*hp, p*tp, dh); g is b-major
+    (g = b*hp + hg), packed row j*tp+t holds head hg*p+j.
+
+    Lane rotates only exist for 32-bit data on the VPU, so sub-fp32 blocks
+    take an fp32 detour (bit-exact for bf16->f32->bf16; the cast passes are
+    tiny next to the block's matmuls)."""
+    bb, tp, c = blk.shape
+    dt = blk.dtype
+    if dt.itemsize < 4:
+        blk = blk.astype(jnp.float32)
+    pieces = []
+    for hg in range(hp):
+        parts = []
+        for j in range(p):
+            h = hg * p + j
+            rolled = pltpu.roll(blk, (c - h * dh) % c, 2) if h else blk
+            parts.append(rolled[:, :, :dh])
+        pieces.append(jnp.concatenate(parts, axis=1))      # (bb, p*tp, dh)
+    x = jnp.concatenate([pc[:, None] for pc in pieces], axis=1)
+    return x.reshape(bb * hp, p * tp, dh).astype(dt)
+
+
+def _merge_pack(x, bb: int, hp: int, p: int, tp: int, dh: int):
+    """Inverse of ``_split_pack``: (g, p*tp, dh) -> (bb, tp, hp*p*dh)."""
+    x4 = x.reshape(bb, hp, p * tp, dh)
+    parts = []
+    for hg in range(hp):
+        for j in range(p):
+            parts.append(x4[:, hg, j * tp:(j + 1) * tp, :])
+    return jnp.concatenate(parts, axis=2)                  # (bb, tp, C)
+
+
+def _pack_rows(x4, hp: int, p: int, pad_to: Optional[int] = None):
+    """(bb, H, tp, e) -> (g, p*tp, e[,pad]): sublane-concat of per-head
+    slices (no lane shuffles — the last dim is shared), optionally
+    zero-padded on the lane dim to ``pad_to``."""
+    bb, h, tp, e = x4.shape
+    pieces = []
+    for hg in range(hp):
+        parts = [x4[:, hg * p + j] for j in range(p)]
+        pieces.append(jnp.concatenate(parts, axis=1))      # (bb, p*tp, e)
+    x = jnp.concatenate([pc[:, None] for pc in pieces], axis=1)
+    x = x.reshape(bb * hp, p * tp, e)
+    if pad_to is not None and pad_to > e:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:2] + (pad_to - e,), x.dtype)], axis=2)
+    return x
+
+
 def _probs_block(q, k, key_mask, qp, *, scale, causal, tk_real, tqp, tkp):
     """(Gp, nq, nk) masked softmax probabilities."""
     s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
@@ -136,7 +208,18 @@ def _probs_block(q, k, key_mask, qp, *, scale, causal, tk_real, tqp, tkp):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _intensity_block(probs, t, iv, wd, bd, wf, sel_w, scaling, *, dh):
+def _assemble_x(su, iv, cp: int, dh: int):
+    """x = [seq_units | interval | 0-pad] as an in-VMEM lane concat:
+    su (G, Tq, dh) fp32, iv (G, Tq) -> (G, Tq, cp) with iv at channel dh
+    (reference temporal.py:281: x = concat([seq_units, interval], -1))."""
+    g, tq, _ = su.shape
+    pad = cp - dh
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, tq, pad), 2)
+    ivc = jnp.where(col == 0, iv[:, :, None], 0.0)
+    return jnp.concatenate([su, ivc], axis=2)
+
+
+def _intensity_block(probs, t, iv, wd, bd, wf, sel_w, scaling, *, dh, cp):
     """seq_units -> sigmoid head -> scaled softplus intensities.
 
     ``sel_w`` is the wf-FOLDED selector (``_sel_matrix() * wf[:, None]``):
@@ -146,7 +229,7 @@ def _intensity_block(probs, t, iv, wd, bd, wf, sel_w, scaling, *, dh):
     not the matmuls, dominate this block's time on the VPU.
 
     Returns (lam (G,Tq,Ep), raw (G,Tq,Ep), sig (G*Tq,EDp) in the compute
-    dtype, x (G,Tq,Cp)). Matmuls run in the weight/input dtype (bf16 in
+    dtype, x (G,Tq,cp)). Matmuls run in the weight/input dtype (bf16 in
     mixed-precision mode, the MXU fast path) with fp32 accumulation; the
     sigmoid is EVALUATED in fp32 and stored once in the compute dtype
     (exactly the rounding the old (sig*wf).astype(cdt) applied).
@@ -154,10 +237,9 @@ def _intensity_block(probs, t, iv, wd, bd, wf, sel_w, scaling, *, dh):
     cdt = t.dtype
     seq_units = jax.lax.dot_general(
         probs.astype(cdt), t, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (G, Tq, Cp)
-    hh, tq, cp = seq_units.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (tq, cp), 1)
-    x = seq_units + jnp.where((col == dh)[None], 1.0, 0.0) * iv[:, :, None]
+        preferred_element_type=jnp.float32)              # (G, Tq, dh)
+    x = _assemble_x(seq_units, iv, cp, dh)               # (G, Tq, cp)
+    hh, tq, _ = x.shape
     # collapse (G, Tq) -> rows: ONE large MXU matmul instead of G batched
     # small ones (Tq is sublane-aligned so the reshape is layout-free)
     x2 = x.reshape(hh * tq, cp)
@@ -204,13 +286,13 @@ def _drop_mask(shape, rate: float):
 def _pack_factor(h: int, tqp: int, tkp: int) -> int:
     """Head blocks packed per MXU tile: the largest divisor of H with
     p*Tkp <= 128 (and p*Tqp <= 128 so query rows stay one tile tall).
-    Packing p consecutive G-rows (= p heads of one batch row) into one
-    (p*Tkp)-col operand turns the tiny per-head (Tqp, Tkp) attention
-    matmuls into near-full MXU tiles; off-diagonal (cross-head) blocks are
-    masked to PAD_NEG so their softmax probs are EXACTLY zero and every
-    downstream contraction over keys ignores them. p depends only on
-    (H, Tqp, Tkp) — never on the batch block size — so dropout masks
-    regenerate identically in forward and backward."""
+    Packing p consecutive heads of one batch row into one (p*Tkp)-row
+    operand turns the tiny per-head (Tqp, Tkp) attention matmuls into
+    near-full MXU tiles; off-diagonal (cross-head) blocks are masked to
+    PAD_NEG so their softmax probs are EXACTLY zero and every downstream
+    contraction over keys ignores them. p depends only on (H, Tqp, Tkp) —
+    never on the batch block size — so dropout masks regenerate
+    identically in forward and backward."""
     p = 1
     for cand in (2, 4, 8):
         if h % cand == 0 and cand * tkp <= 128 and cand * tqp <= 128:
@@ -218,27 +300,18 @@ def _pack_factor(h: int, tqp: int, tkp: int) -> int:
     return p
 
 
-def _merge_inputs(q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref, qp_ref,
-                  oh_ref):
-    """Merge the (BB, H/p) leading block dims into Gp = BB*H/p and
-    broadcast the per-batch-row tensors across head groups. The p-packing
-    itself happens OUTSIDE the kernel (``_prep``) as a free XLA reshape —
-    in-kernel reshapes may only merge LEADING dims (Mosaic rejects shape
-    casts that touch the sublane/lane dims)."""
-    bb, hp, nq, cp = q_ref.shape
-    nk = k_ref.shape[2]
+def _merge_aux(km_ref, iv_ref, qp_ref, oh_ref, bb, hp, nq, nk):
+    """Broadcast the per-batch-row tensors across head groups and merge
+    the (BB, H/p) leading dims into Gp = BB*H/p (b-major, matching
+    ``_split_pack``)."""
     g = bb * hp
-    q = q_ref[...].reshape(g, nq, cp)
-    k = k_ref[...].reshape(g, nk, cp)
-    v = v_ref[...].reshape(g, nk, cp)
-    t = t_ref[...].reshape(g, nk, cp)
     km = jnp.broadcast_to(km_ref[...], (bb, hp, nk)).reshape(g, nk)
     iv = jnp.broadcast_to(iv_ref[...], (bb, hp, nq)).reshape(g, nq)
     qp = jnp.broadcast_to(qp_ref[...], (bb, hp, nq)).reshape(g, nq)
     e_p = oh_ref.shape[-1]
     oh = jnp.broadcast_to(oh_ref[...][:, None],
                           (bb, hp, nk, e_p)).reshape(g, nk, e_p)
-    return q, k, v, t, km, iv, qp, oh
+    return km, iv, qp, oh
 
 
 def _block_drop_mask(seed0, bb: int, shape_per_row, rate: float):
@@ -259,19 +332,22 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
                 qp_ref, oh_ref, wd_ref, bd_ref, wf_ref, sc_ref,
                 out_ref, lam_ref, probs_ref, raw_ref, *,
                 scale, causal, diag_reset, dropout_rate, tk_real, tqp, tkp,
-                dh, num_events, ed_p, e_p):
-    bb, hp, nq, cp = q_ref.shape
-    nk = k_ref.shape[2]
-    q, k, v, t, km, iv, qp, oh = _merge_inputs(q_ref, k_ref, v_ref, t_ref,
-                                               km_ref, iv_ref, qp_ref,
-                                               oh_ref)
+                dh, hp, p, num_events, cp, ed_p, e_p):
+    bb = q_ref.shape[0]
+    nq, nk = p * tqp, p * tkp
+    q = _split_pack(q_ref[...], dh, hp, p)
+    k = _split_pack(k_ref[...], dh, hp, p)
+    v = _split_pack(v_ref[...], dh, hp, p)
+    t = _split_pack(t_ref[...], dh, hp, p)
+    km, iv, qp, oh = _merge_aux(km_ref, iv_ref, qp_ref, oh_ref,
+                                bb, hp, nq, nk)
     probs = _probs_block(q, k, km, qp, scale=scale, causal=causal,
                          tk_real=tk_real, tqp=tqp, tkp=tkp)
     wf = wf_ref[:]
     sel_w = _sel_matrix(num_events, dh, ed_p, e_p) * wf[:, None]
     lam, raw, _, _ = _intensity_block(probs, t, iv, wd_ref[:],
                                       bd_ref[:], wf, sel_w, sc_ref[:],
-                                      dh=dh)
+                                      dh=dh, cp=cp)
     _, modulated = _modulation(lam, oh, probs, qp, diag_reset=diag_reset,
                                tqp=tqp, tkp=tkp)
     if dropout_rate > 0.0:
@@ -279,8 +355,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
             seed_ref[0], bb, (hp, nq, nk), dropout_rate)
     out = jax.lax.dot_general(
         modulated.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    out_ref[...] = out.reshape(bb, hp, nq, cp)
+        preferred_element_type=jnp.float32)              # (G, nq, dh)
+    out_ref[...] = _merge_pack(out, bb, hp, p, tqp, dh
+                               ).astype(out_ref.dtype)
     lam_ref[...] = lam.reshape(bb, hp, nq, e_p)
     # residuals for the backward (~134 MB at the flagship shape, a ~0.3 ms
     # HBM round-trip that lets the backward skip the QK^T/softmax recompute
@@ -295,7 +372,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
                 gl_ref, dq_ref, dk_ref, dv_ref, dt_ref, dwd_ref, dbd_ref,
                 dwf_ref, dsc_ref, dwd_acc, dbd_acc, dwf_acc, dsc_acc, *,
                 scale, causal, diag_reset, dropout_rate, tk_real, tqp, tkp,
-                dh, num_events, ed_p, e_p, num_b):
+                dh, hp, p, num_events, cp, ed_p, e_p, num_b):
     bi = pl.program_id(0)
 
     @pl.when(bi == 0)
@@ -305,10 +382,14 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         dwf_acc[:] = jnp.zeros_like(dwf_acc)
         dsc_acc[:] = jnp.zeros_like(dsc_acc)
 
-    bb, hp, nq, cp = q_ref.shape
-    nk = k_ref.shape[2]
-    q, k, v, t, km, iv, qp, onehot = _merge_inputs(
-        q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref, qp_ref, oh_ref)
+    bb = q_ref.shape[0]
+    nq, nk = p * tqp, p * tkp
+    q = _split_pack(q_ref[...], dh, hp, p)
+    k = _split_pack(k_ref[...], dh, hp, p)
+    v = _split_pack(v_ref[...], dh, hp, p)
+    t = _split_pack(t_ref[...], dh, hp, p)
+    km, iv, qp, onehot = _merge_aux(km_ref, iv_ref, qp_ref, oh_ref,
+                                    bb, hp, nq, nk)
     wd, bd, wf, sc = wd_ref[:], bd_ref[:], wf_ref[:], sc_ref[:]
     # ---- forward tile from stored residuals (probs/raw saved by the
     # forward, so the expensive QK^T/softmax pass and the 137-GFLOP
@@ -320,9 +401,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     cdt0 = t.dtype
     seq_units = jax.lax.dot_general(
         probs.astype(cdt0), t, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (G, Tq, Cp)
-    colx = jax.lax.broadcasted_iota(jnp.int32, (nq, cp), 1)
-    x = seq_units + jnp.where((colx == dh)[None], 1.0, 0.0) * iv[:, :, None]
+        preferred_element_type=jnp.float32)              # (G, Tq, dh)
+    x = _assemble_x(seq_units, iv, cp, dh)               # (G, Tq, cp)
     x2r = x.reshape(bb * hp * nq, cp)
     z = jax.lax.dot(x2r.astype(cdt0), wd,
                     preferred_element_type=jnp.float32)
@@ -332,7 +412,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     intensity_qk, _ = _modulation(lam, onehot, probs, qp,
                                   diag_reset=diag_reset, tqp=tqp, tkp=tkp)
 
-    go = go_ref[...].reshape(bb * hp, nq, cp)            # (Gp, nq, Cp)
+    go = _split_pack(go_ref[...], dh, hp, p
+                     ).astype(jnp.float32)               # (Gp, nq, dh)
     # ---- out = (modulated * drop) @ v
     if dropout_rate > 0.0:
         drop = _block_drop_mask(seed_ref[0], bb, (hp, nq, nk), dropout_rate)
@@ -341,9 +422,10 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     modulated = intensity_qk * probs
     dropped = modulated * drop if drop is not None else modulated
     cdt = v.dtype
-    dv_ref[...] = jax.lax.dot_general(
+    dv = jax.lax.dot_general(
         dropped.astype(cdt), go.astype(cdt), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, hp, nk, cp)
+        preferred_element_type=jnp.float32)              # (G, nk, dh)
+    dv_ref[...] = _merge_pack(dv, bb, hp, p, tkp, dh).astype(dv_ref.dtype)
     dmod = jax.lax.dot_general(
         go.astype(cdt), v, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # (G, Tq, Tk)
@@ -360,7 +442,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         dint, jnp.broadcast_to(onehot, dint.shape[:1] + onehot.shape[1:]),
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # (G, Tq, Ep)
-    dlam = dlam + gl_ref[...].reshape(dlam.shape)        # TPP-side cotangent
+    # TPP-side cotangent: (bb, H, tqp, E) natural -> packed (G, nq, Ep)
+    dlam = dlam + _pack_rows(gl_ref[...], hp, p, pad_to=e_p)
     # ---- lam = s * softplus(raw / s), s = exp(scaling)
     s = jnp.exp(sc)[None, None, :]
     sig_r = jax.nn.sigmoid(raw / s)
@@ -384,23 +467,24 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
     # ---- z = x @ wd + bd (rows collapsed: one MXU matmul per program)
     dx2 = jax.lax.dot_general(
         dz.astype(cdt), wd, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (G*Tq, Cp)
+        preferred_element_type=jnp.float32)              # (G*Tq, cp)
     dx = dx2.reshape(hh, tq_n, dx2.shape[-1])
     x2 = x.reshape(hh * tq_n, x.shape[-1])
     dwd_acc[:, :] += jax.lax.dot_general(
         x2.astype(cdt), dz.astype(cdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dbd_acc[:, :] += jnp.sum(dz.astype(jnp.float32), axis=0)[None, :]
-    # ---- x = seq_units + iv (interval column is a non-diff input)
-    col = jax.lax.broadcasted_iota(jnp.int32, (nq, cp), 1)
-    dseq = jnp.where((col == dh)[None], 0.0, dx)
+    # ---- x = [seq_units | interval]: the interval column is a non-diff
+    # input, so d seq_units is just the first dh channels of dx
+    dseq = dx[:, :, :dh]
     # ---- seq_units = probs @ t
     dprobs = dprobs + jax.lax.dot_general(
         dseq.astype(cdt), t, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    dt_ref[...] = jax.lax.dot_general(
+    dt = jax.lax.dot_general(
         probs.astype(cdt), dseq.astype(cdt), (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, hp, nk, cp)
+        preferred_element_type=jnp.float32)              # (G, nk, dh)
+    dt_ref[...] = _merge_pack(dt, bb, hp, p, tkp, dh).astype(dt_ref.dtype)
     # ---- softmax backward. Masked entries usually have probs == 0, but a
     # FULLY-masked row softmaxes to uniform (probs != 0); the forward's
     # where(mask, s, NEG) blocks gradient flow there, so zero dlogit on
@@ -414,12 +498,14 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         valid = valid & _causal_keep(qp, nq, nk, tqp, tkp)
     dlogit = jnp.where(valid, dlogit, 0.0)
     dlogit = dlogit * scale
-    dq_ref[...] = jax.lax.dot_general(
+    dq = jax.lax.dot_general(
         dlogit.astype(cdt), k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, hp, nq, cp)
-    dk_ref[...] = jax.lax.dot_general(
+        preferred_element_type=jnp.float32)              # (G, nq, dh)
+    dq_ref[...] = _merge_pack(dq, bb, hp, p, tqp, dh).astype(dq_ref.dtype)
+    dk = jax.lax.dot_general(
         dlogit.astype(cdt), q, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(bb, hp, nk, cp)
+        preferred_element_type=jnp.float32)              # (G, nk, dh)
+    dk_ref[...] = _merge_pack(dk, bb, hp, p, tkp, dh).astype(dk_ref.dtype)
 
     @pl.when(bi == num_b - 1)
     def _store():
@@ -429,37 +515,23 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         dsc_ref[:] = dsc_acc[:]
 
 
-def _prep(cfg_shapes, q, k, v, t, key_mask, intervals, qpos, onehot):
-    """Pad to TPU tiles AND pre-pack p heads per MXU tile.
+def _prep(q, k, v, t, key_mask, intervals, qpos, onehot, *, h, tqp, tkp,
+          e_p, p):
+    """Sequence-axis pads only (the head split/pack is in-VMEM now).
+    The per-batch-row tensors (key mask, intervals, query positions,
+    one-hots) are tiled p times along the sequence axis so every packed
+    block sees its row's values. Padded QUERY rows get qpos = -1 so they
+    match no causal horizon and no diagonal (their outputs are discarded
+    at unpad; their cotangents are zero-padded)."""
+    b, tq_real, _ = q.shape
+    tk_real = k.shape[1]
+    e = onehot.shape[-1]
 
-    The packing reshape (B, H, Tp, Cp) -> (B, H/p, p*Tp, Cp) is byte-
-    identical in row-major HBM (free for XLA); doing it HERE keeps the
-    in-kernel reshapes to leading-dim merges, which is all Mosaic's layout
-    inference supports. The per-batch-row tensors (key mask, intervals,
-    query positions, one-hots) are tiled p times along the sequence axis so
-    every packed block sees its row's values. Padded QUERY rows get
-    qpos = -1 so they match no causal horizon and no diagonal (their
-    outputs are discarded at unpad; their cotangents are zero-padded)."""
-    (b, h, tq_real, dh), tk_real, e = cfg_shapes
-    tqp = max(_round_up(tq_real, 8), 8)
-    tkp = max(_round_up(tk_real, 8), 8)
-    # contraction dims only need sublane (8) alignment; padding to 128 would
-    # nearly double the dominant z-matmul FLOPs at dh=64
-    cp = _round_up(dh + 1, 8)
-    e_p = _round_up(e, 128)
-    ed_p = _round_up(e * dh, 128)
-    p = _pack_factor(h, tqp, tkp)
-    nq, nk = p * tqp, p * tkp
+    def padt(xx, tp):
+        return jnp.pad(xx, ((0, 0), (0, tp - xx.shape[1]), (0, 0)))
 
-    def pad4(xx, tp):
-        # preserve the caller's dtype: bf16 inputs keep the MXU fast path
-        t_real = xx.shape[2]
-        xx = jnp.pad(xx, ((0, 0), (0, 0), (0, tp - t_real),
-                          (0, cp - xx.shape[-1])))
-        return xx.reshape(b, h // p, p * tp, cp)
-
-    qp_ = pad4(q, tqp)
-    kp_, vp_, tp_ = pad4(k, tkp), pad4(v, tkp), pad4(t, tkp)
+    qp_ = padt(q, tqp)
+    kp_, vp_, tp_ = padt(k, tkp), padt(v, tkp), padt(t, tkp)
     # (B, 1, n): TPU block shapes need the last two dims to equal the
     # array dims (or be (8,128)-divisible); 2D (1, n) blocks are rejected
     km = jnp.pad(key_mask.astype(jnp.float32),
@@ -474,8 +546,7 @@ def _prep(cfg_shapes, q, k, v, t, key_mask, intervals, qpos, onehot):
     oh = jnp.pad(onehot.astype(jnp.float32),
                  ((0, 0), (0, tkp - tk_real), (0, e_p - e)))
     oh = jnp.tile(oh, (1, p, 1))
-    return (qp_, kp_, vp_, tp_, km, iv, qpos_f, oh), (tqp, tkp, cp, e_p,
-                                                      ed_p, p)
+    return qp_, kp_, vp_, tp_, km, iv, qpos_f, oh
 
 
 def _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p, cdt):
@@ -489,23 +560,23 @@ def _pad_weights(wd, bd, w, scaling, cp, ed_p, e_p, cdt):
     return wdp, bdp, wfp, scp
 
 
-def _specs(bb, hp, nq, nk, cp, e_p, ed_p):
-    """in_specs shared by fwd and bwd (minus the grad inputs); hp = H/p,
-    nq/nk = p*Tqp / p*Tkp are the PACKED dims."""
+def _specs(bb, c, tqp, tkp, nq, nk, cp, e_p, ed_p):
+    """in_specs shared by fwd and bwd (minus the grad inputs); q/k/v/t are
+    (B, Tp, C) natural-layout blocks."""
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),             # seed (1,)
-        pl.BlockSpec((bb, hp, nq, cp), lambda i: (i, 0, 0, 0)),  # q
-        pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),  # k
-        pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),  # v
-        pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),  # t
-        pl.BlockSpec((bb, 1, nk), lambda i: (i, 0, 0)),          # key_mask
-        pl.BlockSpec((bb, 1, nq), lambda i: (i, 0, 0)),          # intervals
-        pl.BlockSpec((bb, 1, nq), lambda i: (i, 0, 0)),          # qpos
-        pl.BlockSpec((bb, nk, e_p), lambda i: (i, 0, 0)),        # onehot
-        pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),              # wd
-        pl.BlockSpec((ed_p,), lambda i: (0,)),                   # bd
-        pl.BlockSpec((ed_p,), lambda i: (0,)),                   # wf
-        pl.BlockSpec((e_p,), lambda i: (0,)),                    # scaling
+        pl.BlockSpec((bb, tqp, c), lambda i: (i, 0, 0)),   # q
+        pl.BlockSpec((bb, tkp, c), lambda i: (i, 0, 0)),   # k
+        pl.BlockSpec((bb, tkp, c), lambda i: (i, 0, 0)),   # v
+        pl.BlockSpec((bb, tkp, c), lambda i: (i, 0, 0)),   # t
+        pl.BlockSpec((bb, 1, nk), lambda i: (i, 0, 0)),    # key_mask
+        pl.BlockSpec((bb, 1, nq), lambda i: (i, 0, 0)),    # intervals
+        pl.BlockSpec((bb, 1, nq), lambda i: (i, 0, 0)),    # qpos
+        pl.BlockSpec((bb, nk, e_p), lambda i: (i, 0, 0)),  # onehot
+        pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),        # wd
+        pl.BlockSpec((ed_p,), lambda i: (0,)),             # bd
+        pl.BlockSpec((ed_p,), lambda i: (0,)),             # wf
+        pl.BlockSpec((e_p,), lambda i: (0,)),              # scaling
     ]
 
 
@@ -520,13 +591,13 @@ _BWD_LIVE, _BWD_BUDGET = 5, 88 * 1024 * 1024
 _VMEM_LIMIT = 110 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
 def _mau_attention(q, k, v, t, key_mask, intervals, onehot, qpos,
                    wd, bd, w, scaling, dropout_seed,
-                   causal, diag_reset, dropout_rate, interpret):
+                   num_heads, causal, diag_reset, dropout_rate, interpret):
     out, _ = _mau_fwd(q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd,
-                      w, scaling, dropout_seed, causal, diag_reset,
-                      dropout_rate, interpret)
+                      w, scaling, dropout_seed, num_heads, causal,
+                      diag_reset, dropout_rate, interpret)
     return out
 
 
@@ -534,61 +605,79 @@ def mau_attention(q, k, v, t, key_mask, intervals, onehot,
                   wd, bd, w, scaling, dropout_seed,
                   causal: bool = False, diag_reset: bool = False,
                   dropout_rate: float = 0.0,
-                  interpret: bool = False, *,
+                  interpret: bool = False, *, num_heads: int,
                   qpos: Optional[jnp.ndarray] = None):
-    """Fused self-modulating attention.
+    """Fused self-modulating attention (natural-layout wire format).
 
-    q: (B, H, Tq, dh); k/v/t: (B, H, Tk, dh); key_mask: (B, Tk);
-    intervals: (B, Tq); onehot: (B, Tk, E); qpos: (B, Tq) original query
-    positions (defaults to iota — the square self-attention case; pass the
-    gathered prediction positions when Tq < Tk);
-    wd: (dh+1, E*dh); bd: (E*dh,); w: (E, dh); scaling: (E,);
-    dropout_seed: int32 scalar (traced — varies per step without recompile).
-    Returns (out (B, H, Tq, dh) fp32, mark_intensity (B, H, Tq, E) fp32).
+    q: (B, Tq, C); k/v/t: (B, Tk, C) with C = num_heads*dh and head h in
+    channel block [h*dh:(h+1)*dh] (the reference's concat-on-batch split,
+    sequential.py:39-41); key_mask: (B, Tk); intervals: (B, Tq);
+    onehot: (B, Tk, E); qpos: (B, Tq) original query positions (defaults
+    to iota — the square self-attention case; pass the gathered prediction
+    positions when Tq < Tk); wd: (dh+1, E*dh); bd: (E*dh,); w: (E, dh);
+    scaling: (E,); dropout_seed: int32 scalar (traced — varies per step
+    without recompile).
+    Returns (out (B, Tq, C) in q.dtype, mark_intensity (B, H, Tq, E) fp32).
     """
-    b, _, tq, _ = q.shape
+    b, tq, _ = q.shape
     if qpos is None:
         qpos = jnp.broadcast_to(
             jnp.arange(tq, dtype=jnp.float32)[None], (b, tq))
     return _mau_attention(q, k, v, t, key_mask, intervals, onehot,
                           qpos.astype(jnp.float32), wd, bd, w, scaling,
-                          dropout_seed, causal, diag_reset, dropout_rate,
-                          interpret)
+                          dropout_seed, num_heads, causal, diag_reset,
+                          dropout_rate, interpret)
+
+
+def _dims(q, k, w, num_heads):
+    b, tq_real, c = q.shape
+    tk_real = k.shape[1]
+    e, dh = w.shape
+    assert c == num_heads * dh, (c, num_heads, dh)
+    tqp = max(_round_up(tq_real, 8), 8)
+    tkp = max(_round_up(tk_real, 8), 8)
+    # contraction dims only need sublane (8) alignment; padding to 128
+    # would nearly double the dominant z-matmul FLOPs at dh=64
+    cp = _round_up(dh + 1, 8)
+    e_p = _round_up(e, 128)
+    ed_p = _round_up(e * dh, 128)
+    p = _pack_factor(num_heads, tqp, tkp)
+    return (b, tq_real, tk_real, c, e, dh, tqp, tkp, cp, e_p, ed_p, p,
+            num_heads // p)
 
 
 def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w,
-             scaling, dropout_seed, causal, diag_reset, dropout_rate,
-             interpret):
-    b, h, tq_real, dh = q.shape
-    tk_real = k.shape[2]
-    e = w.shape[0]
-    (qp_, kp_, vp_, tpj, km, iv, qpf, oh), (tqp, tkp, cp, e_p, ed_p, p) = \
-        _prep(((b, h, tq_real, dh), tk_real, e), q, k, v, t, key_mask,
-              intervals, qpos, onehot)
-    hp, nq, nk = h // p, p * tqp, p * tkp
+             scaling, dropout_seed, num_heads, causal, diag_reset,
+             dropout_rate, interpret):
+    (b, tq_real, tk_real, c, e, dh, tqp, tkp, cp, e_p, ed_p, p, hp) = \
+        _dims(q, k, w, num_heads)
+    nq, nk = p * tqp, p * tkp
+    qp_, kp_, vp_, tpj, km, iv, qpf, oh = _prep(
+        q, k, v, t, key_mask, intervals, qpos, onehot,
+        h=num_heads, tqp=tqp, tkp=tkp, e_p=e_p, p=p)
     wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p,
                                       e_p, q.dtype)
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
-    bb = _auto_bb(b, h, tqp, ed_p, _FWD_LIVE, _FWD_BUDGET)
+    bb = _auto_bb(b, num_heads, tqp, ed_p, _FWD_LIVE, _FWD_BUDGET)
 
     kernel = functools.partial(
         _fwd_kernel, scale=1.0 / dh ** 0.5, causal=causal,
         diag_reset=diag_reset, dropout_rate=dropout_rate,
-        tk_real=tk_real, tqp=tqp, tkp=tkp, dh=dh, num_events=e, ed_p=ed_p,
-        e_p=e_p)
+        tk_real=tk_real, tqp=tqp, tkp=tkp, dh=dh, hp=hp, p=p,
+        num_events=e, cp=cp, ed_p=ed_p, e_p=e_p)
 
     out, lam, probs, raw = pl.pallas_call(
         kernel,
         grid=(b // bb,),
-        in_specs=_specs(bb, hp, nq, nk, cp, e_p, ed_p),
+        in_specs=_specs(bb, c, tqp, tkp, nq, nk, cp, e_p, ed_p),
         out_specs=[
-            pl.BlockSpec((bb, hp, nq, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, tqp, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((bb, hp, nq, e_p), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((bb, hp, nq, nk), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((bb, hp, nq, e_p), lambda i: (i, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hp, nq, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, tqp, c), q.dtype),
             jax.ShapeDtypeStruct((b, hp, nq, e_p), jnp.float32),
             jax.ShapeDtypeStruct((b, hp, nq, nk), jnp.float32),
             jax.ShapeDtypeStruct((b, hp, nq, e_p), jnp.float32),
@@ -598,66 +687,73 @@ def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seed, qp_, kp_, vp_, tpj, km, iv, qpf, oh, wdp, bdp, wfp, scp)
-    res = (q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w,
-           scaling, dropout_seed, probs, raw)
-    out = out.reshape(b, h, tqp, cp)
-    lam = lam.reshape(b, h, tqp, e_p)
-    return (out[:, :, :tq_real, :dh], lam[:, :, :tq_real, :e]), res
+    # residuals: the PADDED natural-layout operands (so the backward pads
+    # nothing and XLA re-materializes no transposes), plus probs/raw
+    res = (qp_, kp_, vp_, tpj, km, iv, qpf, oh, wdp, bdp, wfp, scp,
+           key_mask, intervals, onehot, qpos, wd, bd, w, scaling,
+           dropout_seed, probs, raw)
+    # unpack lam (B, hp, nq, e_p) -> (B, H, Tq, E): head hg*p+j sits at
+    # packed rows [j*tqp:(j+1)*tqp] of group hg, so a pure reshape suffices
+    lam = lam.reshape(b, hp * p, tqp, e_p)
+    return (out[:, :tq_real, :], lam[:, :, :tq_real, :e]), res
 
 
-def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
-    (q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w, scaling,
+def _mau_bwd(num_heads, causal, diag_reset, dropout_rate, interpret, res,
+             grads):
+    (qp_, kp_, vp_, tpj, km, iv, qpf, oh, wdp, bdp, wfp, scp,
+     key_mask, intervals, onehot, qpos, wd, bd, w, scaling,
      dropout_seed, probs_res, raw_res) = res
     go, gl = grads
-    b, h, tq_real, dh = q.shape
-    tk_real = k.shape[2]
-    e = w.shape[0]
-    (qp_, kp_, vp_, tpj, km, iv, qpf, oh), (tqp, tkp, cp, e_p, ed_p, p) = \
-        _prep(((b, h, tq_real, dh), tk_real, e), q, k, v, t, key_mask,
-              intervals, qpos, onehot)
-    hp, nq, nk = h // p, p * tqp, p * tkp
-    wdp, bdp, wfp, scp = _pad_weights(wd, bd, w, scaling, cp, ed_p,
-                                      e_p, q.dtype)
-    gop = jnp.pad(go.astype(jnp.float32),
-                  ((0, 0), (0, 0), (0, tqp - tq_real), (0, cp - dh))
-                  ).reshape(b, hp, nq, cp)
+    b, tqp, c = qp_.shape
+    tkp = kp_.shape[1]
+    tq_real = go.shape[1]
+    tk_real = key_mask.shape[1]
+    e, dh = w.shape
+    cp = _round_up(dh + 1, 8)
+    e_p = _round_up(e, 128)
+    ed_p = _round_up(e * dh, 128)
+    p = _pack_factor(num_heads, tqp, tkp)
+    hp = num_heads // p
+    nq, nk = p * tqp, p * tkp
+    gop = jnp.pad(go.astype(qp_.dtype),
+                  ((0, 0), (0, tqp - tq_real), (0, 0)))
+    # TPP cotangent stays natural (B, H, Tqp, E); packed in-kernel
     glp = jnp.pad(gl.astype(jnp.float32),
-                  ((0, 0), (0, 0), (0, tqp - tq_real), (0, e_p - e))
-                  ).reshape(b, hp, nq, e_p)
+                  ((0, 0), (0, 0), (0, tqp - tq_real), (0, 0)))
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
-    bb = _auto_bb(b, h, tqp, ed_p, _BWD_LIVE, _BWD_BUDGET)
+    bb = _auto_bb(b, num_heads, tqp, ed_p, _BWD_LIVE, _BWD_BUDGET)
 
     kernel = functools.partial(
         _bwd_kernel, scale=1.0 / dh ** 0.5, causal=causal,
         diag_reset=diag_reset, dropout_rate=dropout_rate,
-        tk_real=tk_real, tqp=tqp, tkp=tkp, dh=dh, num_events=e, ed_p=ed_p,
-        e_p=e_p, num_b=b // bb)
+        tk_real=tk_real, tqp=tqp, tkp=tkp, dh=dh, hp=hp, p=p,
+        num_events=e, cp=cp, ed_p=ed_p, e_p=e_p, num_b=b // bb)
 
-    in_specs = _specs(bb, hp, nq, nk, cp, e_p, ed_p) + [
+    in_specs = _specs(bb, c, tqp, tkp, nq, nk, cp, e_p, ed_p) + [
         pl.BlockSpec((bb, hp, nq, nk), lambda i: (i, 0, 0, 0)),   # probs
         pl.BlockSpec((bb, hp, nq, e_p), lambda i: (i, 0, 0, 0)),  # raw
-        pl.BlockSpec((bb, hp, nq, cp), lambda i: (i, 0, 0, 0)),   # go
-        pl.BlockSpec((bb, hp, nq, e_p), lambda i: (i, 0, 0, 0)),  # gl
+        pl.BlockSpec((bb, tqp, c), lambda i: (i, 0, 0)),          # go
+        pl.BlockSpec((bb, num_heads, tqp, e), lambda i: (i, 0, 0, 0)),  # gl
     ]
     outs = pl.pallas_call(
         kernel,
         grid=(b // bb,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((bb, hp, nq, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((bb, hp, nk, cp), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((bb, tqp, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, tkp, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, tkp, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bb, tkp, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((cp, ed_p), lambda i: (0, 0)),
             pl.BlockSpec((1, ed_p), lambda i: (0, 0)),
             pl.BlockSpec((1, ed_p), lambda i: (0, 0)),
             pl.BlockSpec((1, e_p), lambda i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, hp, nq, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp, nk, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp, nk, cp), jnp.float32),
-            jax.ShapeDtypeStruct((b, hp, nk, cp), jnp.float32),
+            jax.ShapeDtypeStruct((b, tqp, c), qp_.dtype),
+            jax.ShapeDtypeStruct((b, tkp, c), qp_.dtype),
+            jax.ShapeDtypeStruct((b, tkp, c), qp_.dtype),
+            jax.ShapeDtypeStruct((b, tkp, c), qp_.dtype),
             jax.ShapeDtypeStruct((cp, ed_p), jnp.float32),
             jax.ShapeDtypeStruct((1, ed_p), jnp.float32),
             jax.ShapeDtypeStruct((1, ed_p), jnp.float32),
@@ -678,19 +774,12 @@ def _mau_bwd(causal, diag_reset, dropout_rate, interpret, res, grads):
       probs_res, raw_res, gop, glp)
     dq, dk, dv, dt, dwd, dbd, dwf, dsc = outs
 
-    def unpad_q(xx):
-        xx = xx.reshape(b, h, tqp, cp)
-        return xx[:, :, :tq_real, :dh].astype(q.dtype)
-
-    def unpad_k(xx):
-        xx = xx.reshape(b, h, tkp, cp)
-        return xx[:, :, :tk_real, :dh].astype(q.dtype)
-
     dwd_out = dwd[:dh + 1, :e * dh].astype(wd.dtype)
     dbd_out = dbd[0, :e * dh].astype(bd.dtype)
     dw_out = dwf[0, :e * dh].reshape(e, dh).astype(w.dtype)
     dsc_out = dsc[0, :e].astype(scaling.dtype)
-    return (unpad_q(dq), unpad_k(dk), unpad_k(dv), unpad_k(dt),
+    return (dq[:, :tq_real], dk[:, :tk_real], dv[:, :tk_real],
+            dt[:, :tk_real],
             jnp.zeros_like(key_mask), jnp.zeros_like(intervals),
             jnp.zeros_like(onehot), jnp.zeros_like(qpos), dwd_out, dbd_out,
             dw_out, dsc_out,
@@ -703,8 +792,9 @@ _mau_attention.defvjp(_mau_fwd, _mau_bwd)
 def mau_attention_reference(q, k, v, t, key_mask, intervals, onehot,
                             wd, bd, w, scaling, *, causal=False,
                             diag_reset=False, dropout_rate=0.0, qpos=None):
-    """Pure-jnp parity implementation (no dropout support — parity tests run
-    at rate 0; the kernel's TPU-PRNG dropout is validated statistically)."""
+    """Pure-jnp parity implementation in the conventional (B, H, T, dh)
+    head layout (no dropout support — parity tests run at rate 0; the
+    kernel's TPU-PRNG dropout is validated statistically)."""
     assert dropout_rate == 0.0
     b, h, tq_real, dh = q.shape
     tk_real = k.shape[2]

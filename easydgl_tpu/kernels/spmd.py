@@ -82,18 +82,19 @@ def catalog_nll_spmd(hidden, table, bias, labels, mesh,
 def mau_attention_spmd(q, k, v, t, key_mask, intervals, onehot,
                        wd, bd, w, scaling, seed, mesh,
                        causal: bool, diag_reset: bool, dropout_rate: float,
-                       qpos=None):
+                       num_heads: int, qpos=None):
     """Data-sharded fused MAU/BiMAU attention (see kernels/mau_attention).
 
-    Batch (dim 0 of q/k/v/t/key_mask/intervals/onehot) must divide by the
-    data-axis size; weights are replicated. The per-shard dropout seed is
-    offset by the shard index so no two shards reuse a PRNG stream.
+    q/k/v/t ride in the natural (B, T, C) projection layout. Batch (dim 0
+    of q/k/v/t/key_mask/intervals/onehot) must divide by the data-axis
+    size; weights are replicated. The per-shard dropout seed is offset by
+    the shard index so no two shards reuse a PRNG stream.
     ``qpos``: optional (B, Tq) original positions of gathered query rows
     (rides the data axis like the other per-row tensors).
     """
     data_ax = mesh.axis_names[0]
     if qpos is None:
-        b, _, tq, _ = q.shape
+        b, tq, _ = q.shape
         qpos = jnp.broadcast_to(
             jnp.arange(tq, dtype=jnp.float32)[None], (b, tq))
 
@@ -102,15 +103,16 @@ def mau_attention_spmd(q, k, v, t, key_mask, intervals, onehot,
         shard_seed = seed_ + (di + 1) * jnp.int32(104729)
         return mau_attention(q_, k_, v_, t_, km_, iv_, oh_, wd_, bd_, w_,
                              sc_, shard_seed, causal, diag_reset,
-                             dropout_rate, qpos=qp_)
+                             dropout_rate, num_heads=num_heads, qpos=qp_)
 
+    d3 = P(data_ax, None, None)
     d4 = P(data_ax, None, None, None)
     return jax.shard_map(
         local, mesh=mesh, check_vma=False,
-        in_specs=(d4, d4, d4, d4, P(data_ax, None), P(data_ax, None),
-                  P(data_ax, None, None), P(data_ax, None), P(None, None),
+        in_specs=(d3, d3, d3, d3, P(data_ax, None), P(data_ax, None),
+                  d3, P(data_ax, None), P(None, None),
                   P(None), P(None, None), P(None), P()),
-        out_specs=(d4, d4))(
+        out_specs=(d3, d4))(
         q, k, v, t, key_mask, intervals, onehot,
         qpos.astype(jnp.float32), wd, bd, w, scaling,
         jnp.asarray(seed, jnp.int32))

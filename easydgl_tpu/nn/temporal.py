@@ -301,14 +301,12 @@ class MAU(nn.Module):
         else:
             qpos_i = None
             q_res = queries[:, :, :self.num_units]
-        q, k = split_heads(qq, h), split_heads(kk, h)
-        v, t = split_heads(vv, h), split_heads(tt, h)
-        d = q.shape[-1]
-
         if self.intensity_impl == "fused":
             # one Pallas kernel for the whole chain (kernels/mau_attention):
             # QK^T -> mask -> softmax -> probs@T -> intensity head ->
-            # modulate (+ diag reset) -> dropout -> @V, fwd + bwd
+            # modulate (+ diag reset) -> dropout -> @V, fwd + bwd.
+            # The kernel consumes/produces the projections' NATURAL
+            # (B, T, C) layout — no split_heads/merge_heads copies.
             from easydgl_tpu.kernels.mau_attention import mau_attention
             rate = 0.0 if deterministic else float(self.dropout_rate)
             if rate > 0.0:
@@ -321,21 +319,26 @@ class MAU(nn.Module):
             mesh = spmd_mesh()
             if mesh is not None:
                 from easydgl_tpu.kernels.spmd import mau_attention_spmd
-                out4, mark_intensity = mau_attention_spmd(
-                    q, k, v, t, key_mask, intervals,
+                out, mark_intensity = mau_attention_spmd(
+                    qq, kk, vv, tt, key_mask, intervals,
                     mark_onehot.astype(jnp.float32),
                     self.intensity_kernel, self.intensity_bias,
                     self.intensity_weight, self.intensity_scaling, seed,
-                    mesh, causality, self.diag_reset, rate, qpos=qpos_i)
+                    mesh, causality, self.diag_reset, rate, h,
+                    qpos=qpos_i)
             else:
-                out4, mark_intensity = mau_attention(
-                    q, k, v, t, key_mask, intervals,
+                out, mark_intensity = mau_attention(
+                    qq, kk, vv, tt, key_mask, intervals,
                     mark_onehot.astype(jnp.float32),
                     self.intensity_kernel, self.intensity_bias,
                     self.intensity_weight, self.intensity_scaling, seed,
-                    causality, self.diag_reset, rate, qpos=qpos_i)
-            out = merge_heads(out4) + q_res
-            return out, mark_intensity
+                    causality, self.diag_reset, rate, num_heads=h,
+                    qpos=qpos_i)
+            return out + q_res, mark_intensity
+
+        q, k = split_heads(qq, h), split_heads(kk, h)
+        v, t = split_heads(vv, h), split_heads(tt, h)
+        d = q.shape[-1]
 
         logits = mxu_einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
         logits = _mask_logits(logits, key_mask, causality, qpos=qpos_i)

@@ -83,10 +83,10 @@ def bench(name, fn):
     rng = jax.random.key(0)
     ks = jax.random.split(rng, 12)
     cdt = jnp.bfloat16
-    q = jax.random.normal(ks[0], (B, H, T, dh), cdt)
-    k = jax.random.normal(ks[1], (B, H, T, dh), cdt)
-    v = jax.random.normal(ks[2], (B, H, T, dh), cdt)
-    t = jax.random.normal(ks[3], (B, H, T, dh), cdt)
+    q = jax.random.normal(ks[0], (B, T, H * dh), cdt)
+    k = jax.random.normal(ks[1], (B, T, H * dh), cdt)
+    v = jax.random.normal(ks[2], (B, T, H * dh), cdt)
+    t = jax.random.normal(ks[3], (B, T, H * dh), cdt)
     km = jnp.ones((B, T), jnp.float32)
     iv = jax.random.uniform(ks[4], (B, T))
     oh = (jax.random.uniform(ks[5], (B, T, E)) > 0.8).astype(jnp.float32)
@@ -98,7 +98,7 @@ def bench(name, fn):
 
     def loss(q, k, v, t, wd, bd, w, sc):
         o, lam = M.mau_attention(q, k, v, t, km, iv, oh, wd, bd, w, sc, seed,
-                                 False, True, 0.0)
+                                 False, True, 0.0, num_heads=H)
         return jnp.sum(o.astype(jnp.float32) ** 2) + jnp.sum(lam)
 
     step = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5, 6, 7)))

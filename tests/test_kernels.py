@@ -196,15 +196,29 @@ def _mau_data(rng, b=3, h=2, t=7, dh=8, e=5):
     return q, k, v, tt, km, iv, oh, wd, bd, w, sc
 
 
+def _mh(x):
+    """(B, H, T, dh) -> the kernel's natural (B, T, H*dh) wire format."""
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def _sh(x, h):
+    """(B, T, H*dh) -> (B, H, T, dh) (for reference-side autodiff)."""
+    b, t, c = x.shape
+    return x.reshape(b, t, h, c // h).transpose(0, 2, 1, 3)
+
+
 @pytest.mark.parametrize("causal,diag", [(True, False), (False, True)])
 def test_mau_attention_forward(rng, causal, diag):
     """Fused MAU/BiMAU chain (kernels/mau_attention) vs jnp reference."""
     from easydgl_tpu.kernels.mau_attention import (mau_attention,
                                                    mau_attention_reference)
     args = _mau_data(rng)
-    ok, lk = mau_attention(*args, 0, causal, diag, 0.0)
+    q, k, v, t = args[:4]
+    ok, lk = mau_attention(_mh(q), _mh(k), _mh(v), _mh(t), *args[4:],
+                           0, causal, diag, 0.0, num_heads=q.shape[1])
     orf, lrf = mau_attention_reference(*args, causal=causal, diag_reset=diag)
-    np.testing.assert_allclose(np.asarray(ok), np.asarray(orf),
+    np.testing.assert_allclose(np.asarray(ok), np.asarray(_mh(orf)),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lk), np.asarray(lrf),
                                rtol=1e-5, atol=1e-5)
@@ -217,11 +231,13 @@ def test_mau_attention_grads(rng, causal, diag):
     from easydgl_tpu.kernels.mau_attention import (mau_attention,
                                                    mau_attention_reference)
     q, k, v, t, km, iv, oh, wd, bd, w, sc = _mau_data(rng)
+    h = q.shape[1]
 
     def loss_k(a):
-        o, l = mau_attention(a[0], a[1], a[2], a[3], km, iv, oh,
-                             a[4], a[5], a[6], a[7], 0, causal, diag, 0.0)
-        return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(l))
+        o, l = mau_attention(_mh(a[0]), _mh(a[1]), _mh(a[2]), _mh(a[3]),
+                             km, iv, oh, a[4], a[5], a[6], a[7],
+                             0, causal, diag, 0.0, num_heads=h)
+        return jnp.sum(jnp.sin(_sh(o, h))) + jnp.sum(jnp.cos(l))
 
     def loss_r(a):
         o, l = mau_attention_reference(a[0], a[1], a[2], a[3], km, iv, oh,
@@ -246,21 +262,24 @@ def test_mau_attention_block_batched(rng, causal, diag):
     # at these tiny shapes the chooser must actually pick a block > 1
     assert MA._auto_bb(8, 2, 8, 128, MA._FWD_LIVE, MA._FWD_BUDGET) == 8
     q, k, v, t, km, iv, oh, wd, bd, w, sc = _mau_data(rng, b=8)
+    h = q.shape[1]
 
-    ok, lk = MA.mau_attention(q, k, v, t, km, iv, oh, wd, bd, w, sc,
-                              0, causal, diag, 0.0)
+    ok, lk = MA.mau_attention(_mh(q), _mh(k), _mh(v), _mh(t), km, iv, oh,
+                              wd, bd, w, sc, 0, causal, diag, 0.0,
+                              num_heads=h)
     orf, lrf = MA.mau_attention_reference(q, k, v, t, km, iv, oh, wd, bd,
                                           w, sc, causal=causal,
                                           diag_reset=diag)
-    np.testing.assert_allclose(np.asarray(ok), np.asarray(orf),
+    np.testing.assert_allclose(np.asarray(ok), np.asarray(_mh(orf)),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lk), np.asarray(lrf),
                                rtol=1e-5, atol=1e-5)
 
     def loss_k(a):
-        o, l = MA.mau_attention(a[0], a[1], a[2], a[3], km, iv, oh,
-                                a[4], a[5], a[6], a[7], 0, causal, diag, 0.0)
-        return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(l))
+        o, l = MA.mau_attention(_mh(a[0]), _mh(a[1]), _mh(a[2]), _mh(a[3]),
+                                km, iv, oh, a[4], a[5], a[6], a[7],
+                                0, causal, diag, 0.0, num_heads=h)
+        return jnp.sum(jnp.sin(_sh(o, h))) + jnp.sum(jnp.cos(l))
 
     def loss_r(a):
         o, l = MA.mau_attention_reference(a[0], a[1], a[2], a[3], km, iv, oh,
@@ -314,31 +333,33 @@ def test_mau_attention_gathered_queries(rng, causal, diag):
     from only the gathered rows)."""
     from easydgl_tpu.kernels import mau_attention as MA
     q, k, v, t, km, iv, oh, wd, bd, w, sc = _mau_data(rng, b=4, t=7)
+    h = q.shape[1]
     qpos = jnp.asarray(np.stack([np.sort(rng.choice(7, 3, replace=False))
                                  for _ in range(4)]).astype(np.int32))
     qg = jnp.take_along_axis(q, qpos[:, None, :, None], axis=2)
     ivg = jnp.take_along_axis(iv, qpos, axis=1)
 
-    ok, lk = MA.mau_attention(qg, k, v, t, km, ivg, oh, wd, bd, w, sc,
-                              0, causal, diag, 0.0, qpos=qpos)
+    ok, lk = MA.mau_attention(_mh(qg), _mh(k), _mh(v), _mh(t), km, ivg, oh,
+                              wd, bd, w, sc, 0, causal, diag, 0.0,
+                              num_heads=h, qpos=qpos)
     # reference: full square chain, then gather the rows
     orf, lrf = MA.mau_attention_reference(q, k, v, t, km, iv, oh, wd, bd,
                                           w, sc, causal=causal,
                                           diag_reset=diag)
     orf = jnp.take_along_axis(orf, qpos[:, None, :, None], axis=2)
     lrf = jnp.take_along_axis(lrf, qpos[:, None, :, None], axis=2)
-    np.testing.assert_allclose(np.asarray(ok), np.asarray(orf),
+    np.testing.assert_allclose(np.asarray(ok), np.asarray(_mh(orf)),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lk), np.asarray(lrf),
                                rtol=1e-5, atol=1e-5)
 
     # grads: rectangular jnp reference (qpos-aware) vs the kernel
     def loss_k(a):
-        o, l = MA.mau_attention(jnp.take_along_axis(
-            a[0], qpos[:, None, :, None], axis=2), a[1], a[2], a[3], km,
-            ivg, oh, a[4], a[5], a[6], a[7], 0, causal, diag, 0.0,
-            qpos=qpos)
-        return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(l))
+        o, l = MA.mau_attention(_mh(jnp.take_along_axis(
+            a[0], qpos[:, None, :, None], axis=2)), _mh(a[1]), _mh(a[2]),
+            _mh(a[3]), km, ivg, oh, a[4], a[5], a[6], a[7], 0, causal,
+            diag, 0.0, num_heads=h, qpos=qpos)
+        return jnp.sum(jnp.sin(_sh(o, h))) + jnp.sum(jnp.cos(l))
 
     def loss_r(a):
         o, l = MA.mau_attention_reference(
