@@ -105,6 +105,28 @@ def main():
     peak = 197e12  # v5e bf16
     mfu = step_flops / (best_dt / STEPS) / peak
 
+    # opt-in production fast path (models/easydgl.py gather_queries=True):
+    # the final block computes attention/intensities for ONLY the masklen
+    # prediction rows. NOT reference-exact (the per-example ContribLayerNorm
+    # moments see only those rows — documented there), so it is reported as
+    # a SEPARATE number and never mixed into the headline metric.
+    from easydgl_tpu.models.easydgl import EasyDGL
+    fast_model = EasyDGL(cfg=cfg, gather_queries=True)
+    fast_step = build_train_step(fast_model, donate=False)
+    fstate = init_state(fast_model, batches[0][0], seed=0)
+    fstate, floss = fast_step(fstate, *batches[0], rng)
+    assert float(floss) == float(floss), "NaN loss in fast-path benchmark"
+    fast_dt = float("inf")
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            feats, labels = batches[i % len(batches)]
+            fstate, floss = fast_step(fstate, feats, labels, rng)
+        final = float(floss)
+        fast_dt = min(fast_dt, time.perf_counter() - t0)
+    assert final == final
+    fast_ex_per_sec = STEPS * cfg.batch_size / fast_dt
+
     # full-catalog eval throughput (mask_seen + top-100 path)
     from easydgl_tpu.train.steps import build_eval_step
     eval_step = build_eval_step(model)
@@ -130,6 +152,8 @@ def main():
         "ms_per_step": round(ms_per_step, 2),
         "mfu": round(mfu, 4),
         "eval_seqs_per_sec": round(eval_seqs, 1),
+        "fastpath_examples_per_sec": round(fast_ex_per_sec, 1),
+        "fastpath_ms_per_step": round(fast_dt / STEPS * 1e3, 2),
     }))
 
 

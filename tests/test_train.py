@@ -384,3 +384,31 @@ def test_golden_metrics_temporal_models(name, kw, golden):
     _, res = train_model(cfg, tr, vl, te, mark_table=table, num_epochs=4)
     for k, v in golden.items():
         np.testing.assert_allclose(res[k], v, rtol=1e-4, err_msg=k)
+
+
+@pytest.mark.parametrize("name,kw,golden", [
+    ("SASREC", dict(),
+     {"H10": 0.21875, "N10": 0.10128, "N100": 0.273074}),
+    ("BERT4REC", dict(),
+     {"H10": 0.375, "N10": 0.158643, "N100": 0.296554}),
+    ("S2PNM", dict(),
+     {"H10": 0.125, "N10": 0.08009, "N100": 0.268464}),
+    ("GREC", dict(),
+     {"H10": 0.34375, "N10": 0.183699, "N100": 0.323105}),
+    ("TGAT", dict(time_scale=1000.0),
+     {"H10": 0.21875, "N10": 0.099764, "N100": 0.268345}),
+    ("TGREC", dict(time_scale=1000.0),
+     {"H10": 0.5625, "N10": 0.300542, "N100": 0.391311}),
+    ("TimelyREC", dict(),
+     {"H10": 0.375, "N10": 0.154458, "N100": 0.297602}),
+])
+def test_golden_metrics_remaining_models(name, kw, golden):
+    """Golden-metric drift detectors for the rest of the zoo — with the
+    temporal fixtures above, ALL 11 models are now locked against silent
+    numerics drift. Same harness/seeds as the other fixtures; update only
+    for INTENTIONAL changes."""
+    cfg = _cfg(name, **kw)
+    tr, vl, te = _splits(datetime=(name == "TimelyREC"))
+    _, res = train_model(cfg, tr, vl, te, num_epochs=4)
+    for k, v in golden.items():
+        np.testing.assert_allclose(res[k], v, rtol=1e-4, err_msg=k)
