@@ -83,16 +83,32 @@ def mau_attention_spmd(q, k, v, t, key_mask, intervals, onehot,
                        wd, bd, w, scaling, seed, mesh,
                        causal: bool, diag_reset: bool, dropout_rate: float,
                        num_heads: int, qpos=None):
-    """Data-sharded fused MAU/BiMAU attention (see kernels/mau_attention).
+    """Data- AND head-sharded fused MAU/BiMAU attention.
 
-    q/k/v/t ride in the natural (B, T, C) projection layout. Batch (dim 0
-    of q/k/v/t/key_mask/intervals/onehot) must divide by the data-axis
-    size; weights are replicated. The per-shard dropout seed is offset by
-    the shard index so no two shards reuse a PRNG stream.
+    q/k/v/t ride in the natural (B, T, C) projection layout, which makes
+    TENSOR PARALLELISM a pure channel split: head h owns channel block
+    [h*dh:(h+1)*dh], so sharding the LAST dim over the model axis hands
+    each shard a contiguous group of whole heads — every per-head
+    computation (QK^T, softmax, the dominant (rows, E*dh) intensity head)
+    is channel-block-local, so each shard just runs the unmodified kernel
+    on num_heads/mp heads. This is the Megatron column-parallel attention
+    pattern: activations split across the model axis with the small
+    intensity weights replicated (their grads arrive via the psums
+    shard_map's AD transpose inserts), and XLA re-gathers the (B, Tq, C)
+    output over ICI where the merge projection consumes it. Per-chip MAU
+    kernel work — the step's dominant cost — divides by mp.
+
+    Head sharding engages when the model axis divides num_heads (else the
+    heads stay replicated and only the batch is split). Batch must divide
+    by the data-axis size. The per-shard dropout seed is offset by BOTH
+    mesh coordinates so no two shards reuse a PRNG stream.
     ``qpos``: optional (B, Tq) original positions of gathered query rows
     (rides the data axis like the other per-row tensors).
     """
-    data_ax = mesh.axis_names[0]
+    data_ax, model_ax = mesh.axis_names[0], mesh.axis_names[1]
+    mp = mesh.shape[model_ax]
+    shard_heads = mp > 1 and num_heads % mp == 0
+    h_local = num_heads // mp if shard_heads else num_heads
     if qpos is None:
         b, tq, _ = q.shape
         qpos = jnp.broadcast_to(
@@ -101,18 +117,22 @@ def mau_attention_spmd(q, k, v, t, key_mask, intervals, onehot,
     def local(q_, k_, v_, t_, km_, iv_, oh_, qp_, wd_, bd_, w_, sc_, seed_):
         di = jax.lax.axis_index(data_ax)
         shard_seed = seed_ + (di + 1) * jnp.int32(104729)
+        if shard_heads:
+            mi = jax.lax.axis_index(model_ax)
+            shard_seed = shard_seed + (mi + 1) * jnp.int32(15485863)
         return mau_attention(q_, k_, v_, t_, km_, iv_, oh_, wd_, bd_, w_,
                              sc_, shard_seed, causal, diag_reset,
-                             dropout_rate, num_heads=num_heads, qpos=qp_)
+                             dropout_rate, num_heads=h_local, qpos=qp_)
 
-    d3 = P(data_ax, None, None)
-    d4 = P(data_ax, None, None, None)
+    heads = model_ax if shard_heads else None
+    d3 = P(data_ax, None, heads)
+    lam4 = P(data_ax, heads, None, None)
     return jax.shard_map(
         local, mesh=mesh, check_vma=False,
         in_specs=(d3, d3, d3, d3, P(data_ax, None), P(data_ax, None),
-                  d3, P(data_ax, None), P(None, None),
+                  P(data_ax, None, None), P(data_ax, None), P(None, None),
                   P(None), P(None, None), P(None), P()),
-        out_specs=(d3, d4))(
+        out_specs=(d3, lam4))(
         q, k, v, t, key_mask, intervals, onehot,
         qpos.astype(jnp.float32), wd, bd, w, scaling,
         jnp.asarray(seed, jnp.int32))

@@ -284,3 +284,108 @@ def test_catalog_nll_spmd_unit(mesh, rng):
     for a, b_, name in zip(gs, gr, ("dhidden", "dtable", "dbias")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_mau_attention_spmd_head_sharded(rng):
+    """Tensor-parallel fused MAU: heads split over the model axis (the
+    natural (B, T, C) layout makes head sharding a pure channel split)
+    must equal the single-device kernel, forward and gradients."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from easydgl_tpu.kernels.mau_attention import mau_attention
+    from easydgl_tpu.kernels.spmd import mau_attention_spmd
+
+    b, h, t, dh, e = 4, 2, 7, 8, 5
+    c = h * dh
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+    q, k, v, tt = mk(b, t, c), mk(b, t, c), mk(b, t, c), mk(b, t, c)
+    km = jnp.asarray((rng.rand(b, t) > 0.3).astype(np.float32))
+    km = km.at[:, -2:].set(1.0)
+    iv = jnp.asarray(rng.rand(b, t).astype(np.float32))
+    oh = jnp.asarray((rng.rand(b, t, e) > 0.5).astype(np.float32))
+    wd, bd = mk(dh + 1, e * dh) * 0.1, mk(e * dh) * 0.1
+    w, sc = mk(e, dh) * 0.1, mk(e) * 0.1
+    mesh = make_mesh(MeshConfig(dp=4, mp=2))
+    assert h % mesh.shape[mesh.axis_names[1]] == 0  # head sharding engages
+
+    with pltpu.force_tpu_interpret_mode():
+        def loss_ref(a):
+            o, l = mau_attention(a[0], a[1], a[2], a[3], km, iv, oh,
+                                 a[4], a[5], a[6], a[7], 0, False, True,
+                                 0.0, num_heads=h)
+            return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(l)), (o, l)
+
+        def loss_sh(a):
+            o, l = mau_attention_spmd(a[0], a[1], a[2], a[3], km, iv, oh,
+                                      a[4], a[5], a[6], a[7], 0, mesh,
+                                      False, True, 0.0, h)
+            return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(l)), (o, l)
+
+        a = (q, k, v, tt, wd, bd, w, sc)
+        (lr, (o_r, l_r)), g_r = jax.value_and_grad(loss_ref,
+                                                   has_aux=True)(a)
+        (ls, (o_s, l_s)), g_s = jax.value_and_grad(loss_sh,
+                                                   has_aux=True)(a)
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_s), np.asarray(l_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(ls), float(lr), rtol=1e-6)
+    for x, y, name in zip(g_s, g_r, ("dq", "dk", "dv", "dt", "dwd",
+                                     "dbd", "dw", "dsc")):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_sharded_train_step_head_sharded_kernels(rng):
+    """Full kernel-path sharded train step on a (4 data x 2 model) mesh
+    where the model axis DIVIDES the head count: tensor-parallel attention
+    + vocab-sharded NLL together must reproduce the single-device step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from easydgl_tpu.data.loader import BatchLoader
+    from easydgl_tpu.data.synthetic import (synthetic_mark_table,
+                                            synthetic_split)
+    from easydgl_tpu.models.registry import build_model
+    from easydgl_tpu.train.sharded import (batch_shardings,
+                                           build_sharded_train_step,
+                                           shard_state)
+    from easydgl_tpu.train.steps import build_train_step, init_state
+
+    cfg = preset("EasyDGL").replace(
+        num_items=47, seqslen=8, num_units=16, num_heads=2, num_blocks=1,
+        num_events=4, masklen=4, batch_size=8, hidden_dropout_rate=0.0,
+        attention_probs_dropout_rate=0.0, ct_reg=1e-4, use_pallas=True)
+    model = build_model(cfg)
+    assert model.vocab_size % 2 == 0
+
+    ds = synthetic_split(num_rows=16, num_items=cfg.num_items, seqslen=8,
+                         seed=5)
+    table = synthetic_mark_table(cfg.num_items, 4, seed=2)
+    ld = BatchLoader(ds, data_mode="mau", batch_size=8, masklen=4,
+                     is_training=True, mark_table=table, needs_marks=True)
+    features, labels, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(vv) for k, vv in features.items()}
+    labels = jnp.asarray(labels)
+
+    with pltpu.force_tpu_interpret_mode():
+        state = init_state(model, feats, seed=0)
+        rng_key = jax.random.key(7)
+        ref_step = build_train_step(model, donate=False)
+        ref_state, ref_loss = ref_step(state, feats, labels, rng_key)
+
+        mesh = make_mesh(MeshConfig(dp=4, mp=2))
+        sh_state = shard_state(state, mesh)
+        b_sh = batch_shardings((feats, labels), mesh)
+        feats_sh = jax.tree.map(jax.device_put, feats, b_sh[0])
+        labels_sh = jax.device_put(labels, b_sh[1])
+        step = build_sharded_train_step(model, mesh, (feats, labels))
+        new_state, loss = step(sh_state, feats_sh, labels_sh, rng_key)
+
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(ref_state.params),
+                jax.tree_util.tree_leaves_with_path(new_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=str(pa))
