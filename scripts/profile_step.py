@@ -53,39 +53,38 @@ def capture(outdir):
 
 
 def parse(outdir):
-    """Print top-30 ops by self time from the captured xplane."""
-    paths = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
-                      recursive=True)
+    """Print top-30 device ops by self time, aggregated from the captured
+    trace.json.gz (self-contained — the tensorboard_plugin_profile xplane
+    converters break across protobuf/TF versions in this image)."""
+    import collections
+    import gzip
+    paths = sorted(glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
+                             recursive=True))
     if not paths:
-        print("no xplane captured", file=sys.stderr)
+        print("no trace captured", file=sys.stderr)
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [paths[-1]], "framework_op_stats", {"tqx": "out:json;"})
-    if isinstance(data, bytes):
-        data = data.decode()
-    tbl = json.loads(data)
-    # gviz table: rows of [rank?, host/device, type, name, #occ, total, avg,
-    # total_self, ...] — column layout per tool version; find by labels
-    cols = [c.get("label", c.get("id", "")) for c in tbl["table"]["cols"]]
-    rows = [[c.get("v") for c in r["c"]] for r in tbl["table"]["rows"]]
-
-    def col(label):
-        for i, c in enumerate(cols):
-            if label.lower() in str(c).lower():
-                return i
-        return None
-
-    i_name = col("name") or col("operation")
-    i_self = col("total self")
-    i_occ = col("occurr")
-    rows.sort(key=lambda r: -(r[i_self] or 0))
-    total = sum(r[i_self] or 0 for r in rows)
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    ev = data["traceEvents"]
+    pname = {e["pid"]: e["args"].get("name", "") for e in ev
+             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    agg, cnt = collections.Counter(), collections.Counter()
+    for e in ev:
+        if e.get("ph") != "X":
+            continue
+        nm_p = pname.get(e.get("pid"), "")
+        if "TPU" not in nm_p and "Device" not in nm_p:
+            continue
+        agg[e.get("name", "")] += float(e.get("dur", 0))
+        cnt[e.get("name", "")] += 1
+    # drop the enclosing span events (jit_<fn> and the bare step indices)
+    ops = {k: v for k, v in agg.items()
+           if not k.startswith("jit_") and not k.isdigit()}
+    total = sum(ops.values())
     print(f"{'self us':>12}  {'%':>6}  {'n':>5}  op")
-    for r in rows[:30]:
-        frac = 100.0 * (r[i_self] or 0) / total if total else 0
-        print(f"{r[i_self]:12.0f}  {frac:6.2f}  "
-              f"{r[i_occ] if i_occ else '':>5}  {str(r[i_name])[:90]}")
+    for nm, us in sorted(ops.items(), key=lambda kv: -kv[1])[:30]:
+        frac = 100.0 * us / total if total else 0
+        print(f"{us:12.0f}  {frac:6.2f}  {cnt[nm]:>5}  {nm[:90]}")
 
 
 if __name__ == "__main__":
