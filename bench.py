@@ -110,8 +110,7 @@ def main():
     # prediction rows. NOT reference-exact (the per-example ContribLayerNorm
     # moments see only those rows — documented there), so it is reported as
     # a SEPARATE number and never mixed into the headline metric.
-    from easydgl_tpu.models.easydgl import EasyDGL
-    fast_model = EasyDGL(cfg=cfg, gather_queries=True)
+    fast_model = build_model(cfg.replace(gather_queries=True))
     fast_step = build_train_step(fast_model, donate=False)
     fstate = init_state(fast_model, batches[0][0], seed=0)
     fstate, floss = fast_step(fstate, *batches[0], rng)

@@ -50,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument("--hidden_dropout_rate", type=float)
     p.add_argument("--attention_probs_dropout_rate", type=float)
     p.add_argument("--mask_seen", action="store_true", default=None)
+    p.add_argument("--gather_queries", action="store_true", default=None,
+                   help="EasyDGL fast path: final-block attention for only "
+                        "the prediction rows (~1.6x train throughput; NOT "
+                        "reference-exact — see models/easydgl.py)")
     p.add_argument("--seed", type=int)
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu); the JAX_PLATFORMS "
@@ -68,7 +72,8 @@ def build_config(args):
     for k in ("num_items", "seqslen", "num_units", "num_heads", "num_blocks",
               "num_epochs", "num_events", "batch_size", "masklen", "timelen",
               "time_scale", "l2_reg", "ct_reg", "hidden_dropout_rate",
-              "attention_probs_dropout_rate", "mask_seen", "seed"):
+              "attention_probs_dropout_rate", "mask_seen", "seed",
+              "gather_queries"):
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v

@@ -101,6 +101,11 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"    # set "bfloat16" for throughput runs
     use_pallas: Optional[bool] = None  # None = auto (True on TPU)
+    # opt-in production fast path (EasyDGL): final-block attention /
+    # intensities for ONLY the prediction rows. ~1.6x train throughput;
+    # NOT reference-exact (per-example LayerNorm moments see only those
+    # rows — models/easydgl.py docstring). Off for parity/benchmarks.
+    gather_queries: bool = False
     # dropout PRNG: "auto" = the hardware rbg generator on TPU (threefry's
     # per-step u32 fusions cost ~0.7 ms/step at the flagship shape),
     # threefry2x32 elsewhere (keeps CPU goldens/determinism fixtures

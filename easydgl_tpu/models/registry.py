@@ -34,4 +34,11 @@ def build_model(cfg: Config) -> SequentialModel:
     if cfg.model not in MODELS:
         raise NotImplementedError(
             f"The ranking model: {cfg.model} not implemented")
-    return MODELS[cfg.model](cfg)
+    cls = MODELS[cfg.model]
+    if cfg.gather_queries:
+        if not hasattr(cls, "gather_queries"):
+            raise ValueError(
+                f"--gather_queries: {cfg.model} has no query-gather fast "
+                "path (supported: EasyDGL)")
+        return cls(cfg, gather_queries=True)
+    return cls(cfg)

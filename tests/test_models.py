@@ -175,3 +175,16 @@ def test_easydgl_query_gather_mode(training):
             np.asarray(jnp.take_along_axis(last_full,
                                            pos[:, None, :, None], axis=2)),
             rtol=2e-5, atol=2e-5)
+
+
+def test_registry_gather_queries_flag():
+    """cfg.gather_queries builds the fast-path EasyDGL and rejects models
+    without a query-gather path."""
+    import pytest as _pytest
+    from easydgl_tpu.config import preset
+    from easydgl_tpu.models.registry import build_model
+    m = build_model(preset("EasyDGL").replace(gather_queries=True))
+    assert m.gather_queries is True
+    assert build_model(preset("EasyDGL")).gather_queries is False
+    with _pytest.raises(ValueError):
+        build_model(preset("SASREC").replace(gather_queries=True))
