@@ -50,12 +50,13 @@ def metrics_from_logits(logits, labels):
     return {k: float(v) / n for k, v in sums.items() if k != "count"}
 
 
-def masked_batch(mask_id, masklen, seed):
-    """Deterministic BERT-style masking (mirrors tests/test_parity_tf.py:
-    positions [2, 4, L], head position 1 never masked — EasyDGL's
-    ignore-head protocol)."""
+def masked_batch(mask_id, seed, ignore_head=False):
+    """Deterministic BERT-style masking (mirrors tests/test_parity_tf.py;
+    ``ignore_head`` shifts the first maskable position — EasyDGL's
+    protocol never masks position 0)."""
     ids, ts = seq_batch(seed)
-    pos = np.stack([np.array([2, 4, L])] * B)               # (B, 3)
+    lo = 1 if ignore_head else 0
+    pos = np.stack([np.array([lo + 1, 4, L])] * B)          # (B, 3)
     masked = ids.copy()
     np.put_along_axis(masked, pos, mask_id, axis=1)
     labels = np.take_along_axis(ids, pos, axis=1)
@@ -73,14 +74,17 @@ def _setup(name, tmp):
                 timelen=20)
     if name == "GRU4REC":
         base["num_heads"] = 1
-    if name == "EasyDGL":
+    def make_marks(E):
         from easydgl_tpu.data.synthetic import synthetic_mark_table
         from easydgl_tpu.parity.refbridge import write_mark_pickle
+        mark = synthetic_mark_table(V, E, seed=1).astype(np.int64)
+        return mark, write_mark_pickle(mark, os.path.join(tmp, "mark.pkl"))
+
+    if name == "EasyDGL":
         E = 5
         base.update(ct_reg=1e-3, num_events=E)
         cfg = preset(name).replace(**base)
-        mark = synthetic_mark_table(V, E, seed=1).astype(np.int64)
-        mark_file = write_mark_pickle(mark, os.path.join(tmp, "mark.pkl"))
+        mark, mark_file = make_marks(E)
         specs = {"seqs_i": ((L + 1,), "int32"),
                  "seqs_t": ((L + 1,), "float32"),
                  "masked_positions": ((cfg.masklen,), "int32")}
@@ -90,7 +94,8 @@ def _setup(name, tmp):
             return mark[safe].astype(np.float32)
 
         def batch(s):
-            ids, ts, pos, masked, labels, _ = masked_batch(V, 3, 1000 + s)
+            ids, ts, pos, masked, labels, _ = masked_batch(
+                V, 1000 + s, ignore_head=True)
             feats = {"seqs_i": masked, "seqs_t": ts,
                      "masked_positions": pos}
             extra = {"seqs_marks": marks_of(masked),
@@ -98,23 +103,73 @@ def _setup(name, tmp):
             return feats, labels, extra
 
         def eval_batch():
-            ids, ts, _, _, _, eval_masked = masked_batch(V, 3, 99)
+            ids, ts, _, _, _, eval_masked = masked_batch(
+                V, 99, ignore_head=True)
             feats = {"seqs_i": eval_masked, "seqs_t": ts}
             extra = {"seqs_marks": marks_of(eval_masked)}
             return feats, ids[:, -1], extra
 
         return cfg, specs, mark_file, batch, eval_batch
 
+    if name == "BERT4REC":
+        cfg = preset(name).replace(**base)
+        specs = {"seqs_i": ((L + 1,), "int32"),
+                 "masked_positions": ((cfg.masklen,), "int32")}
+
+        def batch(s):
+            ids, _, pos, masked, labels, _ = masked_batch(V, 1000 + s)
+            return ({"seqs_i": masked, "masked_positions": pos},
+                    labels, {})
+
+        def eval_batch():
+            ids, _, _, _, _, eval_masked = masked_batch(V, 99)
+            return {"seqs_i": eval_masked}, ids[:, -1], {}
+
+        return cfg, specs, None, batch, eval_batch
+
+    if name == "CTSMA":
+        E = 5
+        base.update(ct_reg=1e-3, num_events=E)
+        cfg = preset(name).replace(**base)
+        mark, mark_file = make_marks(E)
+        specs = {"seqs_i": ((L,), "int32"), "seqs_t": ((L + 1,), "float32")}
+
+        def batch(s):
+            ids, ts = seq_batch(1000 + s)
+            feats = {"seqs_i": ids[:, :-1], "seqs_t": ts}
+            labels = ids[:, 1:]
+            extra = {"seqs_marks": mark[feats["seqs_i"]].astype(np.float32),
+                     "next_marks": mark[labels].astype(np.float32)}
+            return feats, labels, extra
+
+        def eval_batch():
+            ids, ts = seq_batch(99)
+            feats = {"seqs_i": ids[:, :-1], "seqs_t": ts}
+            extra = {"seqs_marks": mark[feats["seqs_i"]
+                                        ].astype(np.float32)}
+            return feats, ids[:, -1], extra
+
+        return cfg, specs, mark_file, batch, eval_batch
+
+    with_time = name in ("TGAT", "TiSASREC")
     cfg = preset(name).replace(**base)
     specs = {"seqs_i": ((L,), "int32")}
+    if with_time:
+        specs["seqs_t"] = ((L + 1,), "float32")
 
     def batch(s):
-        ids, _ = seq_batch(1000 + s)
-        return {"seqs_i": ids[:, :-1]}, ids[:, 1:], {}
+        ids, ts = seq_batch(1000 + s)
+        feats = {"seqs_i": ids[:, :-1]}
+        if with_time:
+            feats["seqs_t"] = ts
+        return feats, ids[:, 1:], {}
 
     def eval_batch():
-        ids, _ = seq_batch(99)
-        return {"seqs_i": ids[:, :-1]}, ids[:, -1], {}
+        ids, ts = seq_batch(99)
+        feats = {"seqs_i": ids[:, :-1]}
+        if with_time:
+            feats["seqs_t"] = ts
+        return feats, ids[:, -1], {}
 
     return cfg, specs, None, batch, eval_batch
 
