@@ -80,6 +80,10 @@ def _setup(name, tmp):
         mark = synthetic_mark_table(V, E, seed=1).astype(np.int64)
         return mark, write_mark_pickle(mark, os.path.join(tmp, "mark.pkl"))
 
+    ident = lambda f: f
+
+    if name == "S2PNM":
+        base["num_blocks"] = 1
     if name == "EasyDGL":
         E = 5
         base.update(ct_reg=1e-3, num_events=E)
@@ -109,7 +113,7 @@ def _setup(name, tmp):
             extra = {"seqs_marks": marks_of(eval_masked)}
             return feats, ids[:, -1], extra
 
-        return cfg, specs, mark_file, batch, eval_batch
+        return cfg, specs, mark_file, batch, eval_batch, ident
 
     if name == "BERT4REC":
         cfg = preset(name).replace(**base)
@@ -125,7 +129,82 @@ def _setup(name, tmp):
             ids, _, _, _, _, eval_masked = masked_batch(V, 99)
             return {"seqs_i": eval_masked}, ids[:, -1], {}
 
-        return cfg, specs, None, batch, eval_batch
+        return cfg, specs, None, batch, eval_batch, ident
+
+    if name == "GREC":
+        cfg = preset(name).replace(**base)
+        specs = {"seqs_i": ((None,), "int32"), "seqs_m": ((None,), "int32"),
+                 "masked_positions": ((cfg.masklen,), "int32")}
+
+        def batch(s):
+            ids, _, pos, masked, labels, _ = masked_batch(
+                V, 1000 + s, ignore_head=True)
+            return ({"seqs_i": ids, "seqs_m": masked,
+                     "masked_positions": pos - 1},    # AR shift
+                    labels, {})
+
+        def eval_batch():
+            ids, _, _, _, _, _ = masked_batch(V, 99, ignore_head=True)
+            return ({"seqs_i": ids[:, :-1], "seqs_m": ids[:, :-1]},
+                    ids[:, -1], {})
+
+        return cfg, specs, None, batch, eval_batch, ident
+
+    if name == "TimelyREC":
+        cfg = preset(name).replace(**base)
+        specs = {"seqs_i": ((L,), "int64"), "seqs_t": ((L + 1,), "float32"),
+                 "seqs_month": ((L,), "int64"), "seqs_day": ((L,), "int64"),
+                 "seqs_weekday": ((L,), "int64"),
+                 "seqs_hour": ((L,), "int64")}
+        drng = np.random.RandomState(11)
+
+        def dt_feats(ids, ts):
+            return {"seqs_i": ids[:, :-1].astype(np.int64), "seqs_t": ts,
+                    "seqs_month": drng.randint(1, 13, (B, L)
+                                               ).astype(np.int64),
+                    "seqs_day": drng.randint(1, 32, (B, L)
+                                             ).astype(np.int64),
+                    "seqs_weekday": drng.randint(0, 7, (B, L)
+                                                 ).astype(np.int64),
+                    "seqs_hour": drng.randint(0, 24, (B, L)
+                                              ).astype(np.int64)}
+
+        def batch(s):
+            ids, ts = seq_batch(1000 + s)
+            return dt_feats(ids, ts), ids[:, 1:], {}
+
+        def eval_batch():
+            ids, ts = seq_batch(99)
+            return dt_feats(ids, ts), ids[:, -1], {}
+
+        return cfg, specs, None, batch, eval_batch, ident
+
+    if name == "TGREC":
+        # constant timestamps (zero span matrix) sidestep the documented
+        # span repair (models/tgrec.py:7-11); the reference feeds (B, L)
+        # timestamps, this framework (B, L+1)
+        base["num_heads"] = 1
+        cfg = preset(name).replace(**base)
+        specs = {"seqs_i": ((L,), "int32"), "seqs_t": ((L,), "float32")}
+
+        def batch(s):
+            ids, _ = seq_batch(1000 + s)
+            return ({"seqs_i": ids[:, :-1],
+                     "seqs_t": np.full((B, L), 5e5, np.float32)},
+                    ids[:, 1:], {})
+
+        def eval_batch():
+            ids, _ = seq_batch(99)
+            return ({"seqs_i": ids[:, :-1],
+                     "seqs_t": np.full((B, L), 5e5, np.float32)},
+                    ids[:, -1], {})
+
+        def my_map(feats):
+            f = dict(feats)
+            f["seqs_t"] = np.full((B, L + 1), 5e5, np.float32)
+            return f
+
+        return cfg, specs, None, batch, eval_batch, my_map
 
     if name == "CTSMA":
         E = 5
@@ -149,7 +228,7 @@ def _setup(name, tmp):
                                         ].astype(np.float32)}
             return feats, ids[:, -1], extra
 
-        return cfg, specs, mark_file, batch, eval_batch
+        return cfg, specs, mark_file, batch, eval_batch, ident
 
     with_time = name in ("TGAT", "TiSASREC")
     cfg = preset(name).replace(**base)
@@ -171,7 +250,7 @@ def _setup(name, tmp):
             feats["seqs_t"] = ts
         return feats, ids[:, -1], {}
 
-    return cfg, specs, None, batch, eval_batch
+    return cfg, specs, None, batch, eval_batch, ident
 
 
 def run(name):
@@ -185,13 +264,14 @@ def run(name):
     from easydgl_tpu.train.steps import build_train_step, init_state
 
     tmp = tempfile.mkdtemp()
-    cfg, specs, mark_file, batch_fn, eval_fn = _setup(name, tmp)
+    cfg, specs, mark_file, batch_fn, eval_fn, my_map = _setup(name, tmp)
     ref = RefModel(name, cfg, specs, mark_file=mark_file, train_mode="step")
     try:
         batches = [batch_fn(s) for s in range(STEPS)]
 
         f0, _, e0 = batches[0]
-        jf0 = {k: jax.numpy.asarray(v) for k, v in {**f0, **e0}.items()}
+        jf0 = {k: jax.numpy.asarray(v)
+               for k, v in {**my_map(f0), **e0}.items()}
         model = build_model(cfg)
         params = model.init({"params": jax.random.key(0),
                              "dropout": jax.random.key(1)},
@@ -204,7 +284,7 @@ def run(name):
         rows = []
         for i, (feats, labels, extra) in enumerate(batches):
             jf = {k: jax.numpy.asarray(v)
-                  for k, v in {**feats, **extra}.items()}
+                  for k, v in {**my_map(feats), **extra}.items()}
             state, ml = step(state, jf, jax.numpy.asarray(labels), rng)
             my_l = float(ml)
             ref_l = ref.train_step(feats, labels)
@@ -216,7 +296,7 @@ def run(name):
         efeats, elabels, eextra = eval_fn()
         ref_logits = ref.eval_logits(efeats)
         jf = {k: jax.numpy.asarray(v)
-              for k, v in {**efeats, **eextra}.items()}
+              for k, v in {**my_map(efeats), **eextra}.items()}
         my_logits, _ = model.apply(state.params, jf, is_training=False)
         m_my = metrics_from_logits(np.asarray(my_logits), elabels)
         m_ref = metrics_from_logits(np.asarray(ref_logits), elabels)
