@@ -137,11 +137,14 @@ def main():
     el, ev = jnp.asarray(el), jnp.asarray(ev)
     sums = eval_step(state.params, efeats, el, ev)
     float(sums["count"])  # compile + barrier
-    t0 = time.perf_counter()
-    for _ in range(10):
-        sums = eval_step(state.params, efeats, el, ev)
-    float(sums["count"])
-    eval_seqs = 10 * cfg.batch_size / (time.perf_counter() - t0)
+    ebest = float("inf")
+    for _rep in range(3):  # best-of-3, same rationale as the train chains
+        t0 = time.perf_counter()
+        for _ in range(10):
+            sums = eval_step(state.params, efeats, el, ev)
+        float(sums["count"])
+        ebest = min(ebest, time.perf_counter() - t0)
+    eval_seqs = 10 * cfg.batch_size / ebest
 
     print(json.dumps({
         "metric": "easydgl_train_examples_per_sec_per_chip",

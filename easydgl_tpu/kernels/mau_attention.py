@@ -175,14 +175,24 @@ def _merge_pack(x, bb: int, hp: int, p: int, tp: int, dh: int):
     return jnp.concatenate(parts, axis=2)                  # (bb, tp, C)
 
 
-def _pack_rows(x4, hp: int, p: int, pad_to: Optional[int] = None):
-    """(bb, H, tp, e) -> (g, p*tp, e[,pad]): sublane-concat of per-head
-    slices (no lane shuffles — the last dim is shared), optionally
-    zero-padded on the lane dim to ``pad_to``."""
-    bb, h, tp, e = x4.shape
+def _pack_rows(x4, hp: int, p: int, tp: Optional[int] = None,
+               pad_to: Optional[int] = None):
+    """(bb, H, t_real, e) -> (g, p*tp, e[,pad]): sublane-concat of per-head
+    slices (no lane shuffles — the last dim is shared), zero row-padding
+    each head block to ``tp`` in VMEM, optionally zero-padded on the lane
+    dim to ``pad_to``."""
+    bb, h, t_real, e = x4.shape
+    tp = t_real if tp is None else tp
+    rpad = (jnp.zeros((bb, tp - t_real, e), x4.dtype)
+            if tp > t_real else None)
     pieces = []
     for hg in range(hp):
-        parts = [x4[:, hg * p + j] for j in range(p)]
+        parts = []
+        for j in range(p):
+            part = x4[:, hg * p + j]
+            if rpad is not None:
+                part = jnp.concatenate([part, rpad], axis=1)
+            parts.append(part)
         pieces.append(jnp.concatenate(parts, axis=1))      # (bb, p*tp, e)
     x = jnp.concatenate([pc[:, None] for pc in pieces], axis=1)
     x = x.reshape(bb * hp, p * tp, e)
@@ -443,7 +453,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, t_ref, km_ref, iv_ref,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)              # (G, Tq, Ep)
     # TPP-side cotangent: (bb, H, tqp, E) natural -> packed (G, nq, Ep)
-    dlam = dlam + _pack_rows(gl_ref[...], hp, p, pad_to=e_p)
+    dlam = dlam + _pack_rows(gl_ref[...], hp, p, tp=tqp,
+                             pad_to=e_p)
     # ---- lam = s * softplus(raw / s), s = exp(scaling)
     s = jnp.exp(sc)[None, None, :]
     sig_r = jax.nn.sigmoid(raw / s)
@@ -717,9 +728,9 @@ def _mau_bwd(num_heads, causal, diag_reset, dropout_rate, interpret, res,
     nq, nk = p * tqp, p * tkp
     gop = jnp.pad(go.astype(qp_.dtype),
                   ((0, 0), (0, tqp - tq_real), (0, 0)))
-    # TPP cotangent stays natural (B, H, Tqp, E); packed in-kernel
-    glp = jnp.pad(gl.astype(jnp.float32),
-                  ((0, 0), (0, 0), (0, tqp - tq_real), (0, 0)))
+    # TPP cotangent stays natural UNPADDED (B, H, Tq, E); the kernel
+    # row-pads it in VMEM during packing
+    glp = gl.astype(jnp.float32)
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
     bb = _auto_bb(b, num_heads, tqp, ed_p, _BWD_LIVE, _BWD_BUDGET)
 
@@ -733,7 +744,8 @@ def _mau_bwd(num_heads, causal, diag_reset, dropout_rate, interpret, res,
         pl.BlockSpec((bb, hp, nq, nk), lambda i: (i, 0, 0, 0)),   # probs
         pl.BlockSpec((bb, hp, nq, e_p), lambda i: (i, 0, 0, 0)),  # raw
         pl.BlockSpec((bb, tqp, c), lambda i: (i, 0, 0)),          # go
-        pl.BlockSpec((bb, num_heads, tqp, e), lambda i: (i, 0, 0, 0)),  # gl
+        pl.BlockSpec((bb, num_heads, tq_real, e),
+                     lambda i: (i, 0, 0, 0)),                     # gl
     ]
     outs = pl.pallas_call(
         kernel,
