@@ -21,7 +21,6 @@ backwards run per shard and gradients arrive with the input shardings.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

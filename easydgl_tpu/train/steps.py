@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from easydgl_tpu.config import Config
 from easydgl_tpu.eval.metrics import mask_seen_logits, metric_sums
 from easydgl_tpu.models.base import SequentialModel
 from easydgl_tpu.train.optim import build_optimizer

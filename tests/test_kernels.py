@@ -1,6 +1,5 @@
 """Pallas kernel parity tests vs pure-jnp references, run in interpreter
 mode on CPU (SURVEY.md §4d)."""
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from easydgl_tpu.nn.attention import MultiHeadAttention, attention_probs
 from easydgl_tpu.nn.coding import (Embedding, PositionCoding,

@@ -3,7 +3,6 @@ the reference TF math (SURVEY.md §4a, the hard parts of §7.3)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from easydgl_tpu.nn.mate import MATEncoder, TAHEncoder
 from easydgl_tpu.nn.temporal import BiMAU, TiMultiHeadAttention

@@ -2,7 +2,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from easydgl_tpu.config import preset
 from easydgl_tpu.data.synthetic import synthetic_mark_table, synthetic_split

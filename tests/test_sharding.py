@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from easydgl_tpu.config import MeshConfig, preset
 from easydgl_tpu.core.mesh import make_mesh
