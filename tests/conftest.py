@@ -9,6 +9,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# belt-and-braces: the XLA_FLAGS device-count env is parsed once at first
+# backend init and can be lost under preconfigured accelerator plugins;
+# this config achieves the same pre-init and is plugin-independent
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
