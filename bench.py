@@ -32,6 +32,22 @@ BASELINE_EXAMPLES_PER_SEC = 2000.0
 STEPS = 25
 
 
+def best_of_chains(run_chain, reps: int = 3) -> float:
+    """Fastest of ``reps`` timed chains. ``run_chain()`` executes one chain
+    and returns a device scalar; converting it to a host float closes the
+    timed region — the only airtight completion barrier across remote
+    backends. Best-of counters transient host load (the remote-execution
+    relay shares the host CPU), so the minimum reflects device throughput.
+    """
+    best = float("inf")
+    for _rep in range(reps):
+        t0 = time.perf_counter()
+        out = float(run_chain())
+        assert out == out, "NaN in benchmark chain"
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
     import jax
     # persistent compile cache: repeated bench runs skip the ~60s compile
@@ -74,20 +90,19 @@ def main():
     state, loss = step(state, *batches[0], rng)
     assert float(loss) == float(loss), "NaN loss in benchmark"
 
-    # best-of-3 chains: the remote-execution relay shares the host CPU, so
-    # transient host load inflates individual measurements; the fastest
-    # chain reflects device throughput
-    best_dt = float("inf")
-    for _rep in range(3):
-        t0 = time.perf_counter()
-        for i in range(STEPS):
-            feats, labels = batches[i % len(batches)]
-            state, loss = step(state, feats, labels, rng)
-        # close the timed region with a host transfer of the final loss —
-        # the only airtight completion barrier across remote backends
-        final_loss = float(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    assert final_loss == final_loss, "NaN loss in benchmark"
+    def train_chain(st, stepfn):
+        def chain():
+            s_, l_ = st[0], None
+            for i in range(STEPS):
+                feats, labels = batches[i % len(batches)]
+                s_, l_ = stepfn(s_, feats, labels, rng)
+            st[0] = s_
+            return l_
+        return chain
+
+    box = [state]
+    best_dt = best_of_chains(train_chain(box, step))
+    state = box[0]
 
     ex_per_sec = STEPS * cfg.batch_size / best_dt
     ms_per_step = best_dt / STEPS * 1e3
@@ -115,15 +130,7 @@ def main():
     fstate = init_state(fast_model, batches[0][0], seed=0)
     fstate, floss = fast_step(fstate, *batches[0], rng)
     assert float(floss) == float(floss), "NaN loss in fast-path benchmark"
-    fast_dt = float("inf")
-    for _rep in range(3):
-        t0 = time.perf_counter()
-        for i in range(STEPS):
-            feats, labels = batches[i % len(batches)]
-            fstate, floss = fast_step(fstate, feats, labels, rng)
-        final = float(floss)
-        fast_dt = min(fast_dt, time.perf_counter() - t0)
-    assert final == final
+    fast_dt = best_of_chains(train_chain([fstate], fast_step))
     fast_ex_per_sec = STEPS * cfg.batch_size / fast_dt
 
     # full-catalog eval throughput (mask_seen + top-100 path)
@@ -137,14 +144,13 @@ def main():
     el, ev = jnp.asarray(el), jnp.asarray(ev)
     sums = eval_step(state.params, efeats, el, ev)
     float(sums["count"])  # compile + barrier
-    ebest = float("inf")
-    for _rep in range(3):  # best-of-3, same rationale as the train chains
-        t0 = time.perf_counter()
+
+    def eval_chain():
         for _ in range(10):
             sums = eval_step(state.params, efeats, el, ev)
-        float(sums["count"])
-        ebest = min(ebest, time.perf_counter() - t0)
-    eval_seqs = 10 * cfg.batch_size / ebest
+        return sums["count"]
+
+    eval_seqs = 10 * cfg.batch_size / best_of_chains(eval_chain)
 
     print(json.dumps({
         "metric": "easydgl_train_examples_per_sec_per_chip",

@@ -640,11 +640,10 @@ def mau_attention(q, k, v, t, key_mask, intervals, onehot,
                           dropout_rate, interpret)
 
 
-def _dims(q, k, w, num_heads):
-    b, tq_real, c = q.shape
-    tk_real = k.shape[1]
-    e, dh = w.shape
-    assert c == num_heads * dh, (c, num_heads, dh)
+def _geom(tq_real, tk_real, e, dh, num_heads):
+    """The single source of padded-geometry truth — the forward's packing
+    and the backward's residual unpacking / dropout-mask regeneration MUST
+    agree bit-for-bit, so both derive from here."""
     tqp = max(_round_up(tq_real, 8), 8)
     tkp = max(_round_up(tk_real, 8), 8)
     # contraction dims only need sublane (8) alignment; padding to 128
@@ -653,8 +652,17 @@ def _dims(q, k, w, num_heads):
     e_p = _round_up(e, 128)
     ed_p = _round_up(e * dh, 128)
     p = _pack_factor(num_heads, tqp, tkp)
-    return (b, tq_real, tk_real, c, e, dh, tqp, tkp, cp, e_p, ed_p, p,
-            num_heads // p)
+    return tqp, tkp, cp, e_p, ed_p, p, num_heads // p
+
+
+def _dims(q, k, w, num_heads):
+    b, tq_real, c = q.shape
+    tk_real = k.shape[1]
+    e, dh = w.shape
+    assert c == num_heads * dh, (c, num_heads, dh)
+    tqp, tkp, cp, e_p, ed_p, p, hp = _geom(tq_real, tk_real, e, dh,
+                                           num_heads)
+    return (b, tq_real, tk_real, c, e, dh, tqp, tkp, cp, e_p, ed_p, p, hp)
 
 
 def _mau_fwd(q, k, v, t, key_mask, intervals, onehot, qpos, wd, bd, w,
@@ -715,16 +723,13 @@ def _mau_bwd(num_heads, causal, diag_reset, dropout_rate, interpret, res,
      key_mask, intervals, onehot, qpos, wd, bd, w, scaling,
      dropout_seed, probs_res, raw_res) = res
     go, gl = grads
-    b, tqp, c = qp_.shape
-    tkp = kp_.shape[1]
+    b, _, c = qp_.shape
     tq_real = go.shape[1]
     tk_real = key_mask.shape[1]
     e, dh = w.shape
-    cp = _round_up(dh + 1, 8)
-    e_p = _round_up(e, 128)
-    ed_p = _round_up(e * dh, 128)
-    p = _pack_factor(num_heads, tqp, tkp)
-    hp = num_heads // p
+    tqp, tkp, cp, e_p, ed_p, p, hp = _geom(tq_real, tk_real, e, dh,
+                                           num_heads)
+    assert (tqp, tkp) == (qp_.shape[1], kp_.shape[1])  # fwd/bwd geometry
     nq, nk = p * tqp, p * tkp
     gop = jnp.pad(go.astype(qp_.dtype),
                   ((0, 0), (0, tqp - tq_real), (0, 0)))

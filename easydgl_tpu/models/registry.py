@@ -38,7 +38,7 @@ def build_model(cfg: Config) -> SequentialModel:
     if cfg.gather_queries:
         if not hasattr(cls, "gather_queries"):
             raise ValueError(
-                f"--gather_queries: {cfg.model} has no query-gather fast "
-                "path (supported: EasyDGL)")
+                f"cfg.gather_queries: {cfg.model} has no query-gather "
+                "fast path (supported: EasyDGL)")
         return cls(cfg, gather_queries=True)
     return cls(cfg)

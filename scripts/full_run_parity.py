@@ -24,7 +24,8 @@ import numpy as np
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 200
 MODELS = sys.argv[2:] or ["SASREC", "GRU4REC"]
 V, L, B = 50, 8, 4
-CHECKPOINTS = sorted({1, 5, 25, 50, 100, STEPS})
+CHECKPOINTS = sorted(c for c in {1, 5, 25, 50, 100, STEPS}
+                     if c <= STEPS)
 
 
 def seq_batch(seed):
