@@ -389,3 +389,51 @@ def test_sharded_train_step_head_sharded_kernels(rng):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-5,
                                        err_msg=str(pa))
+
+
+def test_sharded_gather_queries_fast_path(rng):
+    """cfg.gather_queries under a mesh: the rectangular (Tq=masklen) fused
+    kernel runs inside the shard_map (data-sharded, head-sharded) and must
+    reproduce the single-device fast-path step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from easydgl_tpu.data.loader import BatchLoader
+    from easydgl_tpu.data.synthetic import (synthetic_mark_table,
+                                            synthetic_split)
+    from easydgl_tpu.models.registry import build_model
+    from easydgl_tpu.train.sharded import (batch_shardings,
+                                           build_sharded_train_step,
+                                           shard_state)
+    from easydgl_tpu.train.steps import build_train_step, init_state
+
+    cfg = preset("EasyDGL").replace(
+        num_items=47, seqslen=8, num_units=16, num_heads=2, num_blocks=1,
+        num_events=4, masklen=4, batch_size=8, hidden_dropout_rate=0.0,
+        attention_probs_dropout_rate=0.0, ct_reg=1e-4, use_pallas=True,
+        gather_queries=True)
+    model = build_model(cfg)
+    assert model.gather_queries
+
+    ds = synthetic_split(num_rows=16, num_items=cfg.num_items, seqslen=8,
+                         seed=9)
+    table = synthetic_mark_table(cfg.num_items, 4, seed=2)
+    ld = BatchLoader(ds, data_mode="mau", batch_size=8, masklen=4,
+                     is_training=True, mark_table=table, needs_marks=True)
+    features, labels, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(vv) for k, vv in features.items()}
+    labels = jnp.asarray(labels)
+
+    with pltpu.force_tpu_interpret_mode():
+        state = init_state(model, feats, seed=0)
+        rng_key = jax.random.key(3)
+        ref_step = build_train_step(model, donate=False)
+        _, ref_loss = ref_step(state, feats, labels, rng_key)
+
+        mesh = make_mesh(MeshConfig(dp=4, mp=2))   # head sharding engages
+        sh_state = shard_state(state, mesh)
+        b_sh = batch_shardings((feats, labels), mesh)
+        feats_sh = jax.tree.map(jax.device_put, feats, b_sh[0])
+        labels_sh = jax.device_put(labels, b_sh[1])
+        step = build_sharded_train_step(model, mesh, (feats, labels))
+        _, loss = step(sh_state, feats_sh, labels_sh, rng_key)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
