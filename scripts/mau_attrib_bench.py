@@ -29,13 +29,13 @@ STEPS = 30
 _orig_intensity = M._intensity_block
 
 
-def _intensity_nosig(probs, t, iv, wd, bd, wf, sel, scaling, *, dh):
+def _intensity_nosig(probs, t, iv, wd, bd, wf, sel, scaling, *, dh, cp):
     cdt = t.dtype
     seq_units = jax.lax.dot_general(
         probs.astype(cdt), t, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    hh, tp, cp = seq_units.shape
-    x = seq_units
+    hh, tp, _ = seq_units.shape
+    x = M._assemble_x(seq_units, iv, cp, dh)
     x2 = x.reshape(hh * tp, cp)
     z = jax.lax.dot(x2.astype(cdt), wd, preferred_element_type=jnp.float32)
     sig = z + bd[None, :]                       # <-- identity, no sigmoid
@@ -47,13 +47,13 @@ def _intensity_nosig(probs, t, iv, wd, bd, wf, sel, scaling, *, dh):
     return lam, raw, sig, x
 
 
-def _intensity_nosel(probs, t, iv, wd, bd, wf, sel, scaling, *, dh):
+def _intensity_nosel(probs, t, iv, wd, bd, wf, sel, scaling, *, dh, cp):
     cdt = t.dtype
     seq_units = jax.lax.dot_general(
         probs.astype(cdt), t, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    hh, tp, cp = seq_units.shape
-    x = seq_units
+    hh, tp, _ = seq_units.shape
+    x = M._assemble_x(seq_units, iv, cp, dh)
     x2 = x.reshape(hh * tp, cp)
     z = jax.lax.dot(x2.astype(cdt), wd, preferred_element_type=jnp.float32)
     sig = jax.nn.sigmoid(z + bd[None, :])
@@ -64,12 +64,12 @@ def _intensity_nosel(probs, t, iv, wd, bd, wf, sel, scaling, *, dh):
     return lam, raw, sig, x
 
 
-def _intensity_none(probs, t, iv, wd, bd, wf, sel, scaling, *, dh):
+def _intensity_none(probs, t, iv, wd, bd, wf, sel, scaling, *, dh, cp):
     cdt = t.dtype
     seq_units = jax.lax.dot_general(
         probs.astype(cdt), t, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    hh, tp, cp = seq_units.shape
+    hh, tp, _ = seq_units.shape
     e_p = sel.shape[1]
     ed_p = sel.shape[0]
     lam = jnp.broadcast_to(seq_units[:, :, :1], (hh, tp, e_p)) + 1.0
