@@ -20,7 +20,7 @@ from jax.sharding import Mesh
 
 from easydgl_tpu.dist.embedding import sharded_tied_logits
 from easydgl_tpu.dist.topk import distributed_mask_seen, distributed_top_k
-from easydgl_tpu.eval.metrics import MAX_K, TOPK, _GAIN
+from easydgl_tpu.eval.metrics import MAX_K, TOPK
 from easydgl_tpu.models.base import SCORING, SequentialModel
 
 
@@ -29,7 +29,8 @@ def metric_sums_from_topk(top_idx: jnp.ndarray, true_items: jnp.ndarray,
     """HR/NDCG sums from precomputed top-k GLOBAL indices (B, >=max k)."""
     hit = (top_idx == true_items[:, None]).astype(jnp.float32)
     v = valid.astype(jnp.float32)
-    gain = jnp.asarray(_GAIN)
+    gain = jnp.asarray((1.0 / np.log2(np.arange(2, MAX_K + 2))
+                        ).astype(np.float32))
     out = {"count": jnp.sum(v)}
     for k in TOPK:
         kk = min(k, top_idx.shape[-1])
