@@ -127,6 +127,41 @@ def test_metric_sums_exact():
     np.testing.assert_allclose(sums["N10"], 1.0 / np.log2(2.0), rtol=1e-6)
 
 
+def test_metric_sums_matches_topk_with_ties():
+    """The rank-counting metrics must equal a materialized lax.top_k
+    implementation bit-for-bit, INCLUDING tie-break (equal logits ranked
+    by ascending index — integer-valued logits force massive ties)."""
+    from easydgl_tpu.eval.metrics import MAX_K, TOPK, metric_sums
+    rng_l = np.random.RandomState(7)
+    for tie in (False, True):
+        b, vsz = 48, 300
+        if tie:
+            logits = jnp.asarray(
+                rng_l.randint(0, 4, (b, vsz)).astype(np.float32))
+        else:
+            logits = jnp.asarray(rng_l.randn(b, vsz).astype(np.float32))
+        true = jnp.asarray(rng_l.randint(0, vsz, (b,)).astype(np.int32))
+        valid = jnp.asarray(rng_l.rand(b) > 0.25)
+        got = jax.tree.map(float, jax.device_get(
+            metric_sums(logits, true, valid)))
+        # reference: materialized top-k membership
+        max_k = min(MAX_K, vsz)
+        _, top_idx = jax.lax.top_k(logits, max_k)
+        hit = np.asarray(top_idx == true[:, None], np.float32)
+        gain = (1.0 / np.log2(np.arange(2, max_k + 2))).astype(np.float32)
+        v = np.asarray(valid, np.float32)
+        for k in TOPK:
+            kk = min(k, max_k)
+            np.testing.assert_allclose(
+                got[f"H{k}"],
+                float(np.sum(np.sign(hit[:, :kk].sum(-1)) * v)),
+                atol=1e-5, err_msg=f"H{k} tie={tie}")
+            np.testing.assert_allclose(
+                got[f"N{k}"],
+                float(np.sum((hit[:, :kk] * gain[:kk]).sum(-1) * v)),
+                rtol=1e-5, atol=1e-5, err_msg=f"N{k} tie={tie}")
+
+
 def test_early_stopping_semantics():
     """Faithful util.py:14-58 behavior: NaN abort, patience, first-epoch
     best_valid refresh rule."""
