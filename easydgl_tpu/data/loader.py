@@ -133,8 +133,12 @@ class BatchLoader:
             valid = np.ones((bs,), bool)
             if len(rows) < bs:  # eval tail: pad with repeats of row 0
                 valid[len(rows):] = False
+                # an empty host shard (global rows < num_hosts) still
+                # reports >=1 batch since num_batches() is a ceil over the
+                # GLOBAL row count; pad from dataset row 0 in that case
+                pad_row = order[0] if len(order) else 0
                 rows = np.concatenate(
-                    [rows, np.full(bs - len(rows), order[0])])
+                    [rows, np.full(bs - len(rows), pad_row)])
             if self.native:
                 arrays = {k: self._native_mod.gather_rows(v, rows)
                           for k, v in self.data.arrays.items()}

@@ -288,7 +288,9 @@ def _drop_mask(shape, rate: float):
     """Scaled keep-mask from the (already seeded) TPU PRNG."""
     bits = pltpu.prng_random_bits(shape)
     keep_prob = 1.0 - rate
-    thresh = jnp.uint32(int(keep_prob * (2.0 ** 32)))
+    # clamp: at rate==0 the uint32 threshold would wrap to 0 and drop
+    # everything (call sites guard rate > 0, but keep the trap closed)
+    thresh = jnp.uint32(min(int(keep_prob * (2.0 ** 32)), 2 ** 32 - 1))
     keep = pltpu.bitcast(bits, jnp.uint32) < thresh
     return jnp.where(keep, 1.0 / keep_prob, 0.0)
 

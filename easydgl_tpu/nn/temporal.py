@@ -286,7 +286,13 @@ class MAU(nn.Module):
         causality = self.causal_default if causality is None else causality
         gathered = query_positions is not None
         if self.fused_qkvt:
-            # queries is keys for BiMAU/MGAU self-attention; project once
+            # queries is keys for BiMAU/MGAU self-attention; project once.
+            # The gathered path projects `keys` (full length) and gathers Q
+            # rows afterwards — only valid for self-attention, so insist.
+            if gathered and queries is not keys:
+                raise ValueError(
+                    "query_positions with fused_qkvt requires self-attention"
+                    " (queries is keys); got distinct query/key arrays")
             qkvt = self.qkvt(keys if gathered else queries)
             qq, kk, vv, tt = jnp.split(qkvt, 4, axis=-1)
         else:

@@ -138,8 +138,10 @@ def write_mark_pickle(table: np.ndarray, path: str) -> str:
     import pickle
 
     import scipy.sparse as sp
+    # int64: the reference feeds the table values straight into
+    # tf.nn.embedding_lookup (EasyDGL.py:87), which rejects int8
     with open(path, "wb") as f:
-        pickle.dump(sp.csr_matrix(table), f)
+        pickle.dump(sp.csr_matrix(table.astype(np.int64)), f)
     return path
 
 
