@@ -87,11 +87,17 @@ class BatchLoader:
     def num_batches(self) -> int:
         """Derived from the GLOBAL row count so every host iterates the
         same number of steps (collectives inside the jitted step would
-        deadlock on mismatched counts): train takes the floor over the
-        smallest host shard, eval the ceil over the largest."""
+        deadlock on mismatched counts): ceil over the largest host shard.
+
+        Training INCLUDES the partial tail batch, like the reference's
+        ``map_and_batch`` without drop_remainder (dataloader.py:242-245) —
+        harness-level parity showed floor costs 1 update/epoch and a
+        systematic quality shortfall on small datasets. The tail is padded
+        to the fixed batch shape with all-zero rows, which carry zero label
+        weight through every protocol (the same mechanism that excludes
+        padding ids from the loss, Base.py:128-131), so the tail-step loss
+        equals the reference's small-batch loss exactly."""
         n = self.data.num_rows
-        if self.is_training:
-            return (n // self.num_hosts) // self.batch_size
         max_host_rows = -(-n // self.num_hosts)
         return -(-max_host_rows // self.batch_size)
 
@@ -131,19 +137,27 @@ class BatchLoader:
         for i in range(nb):
             rows = order[i * bs:(i + 1) * bs]
             valid = np.ones((bs,), bool)
-            if len(rows) < bs:  # eval tail: pad with repeats of row 0
-                valid[len(rows):] = False
+            n_real = len(rows)
+            if n_real < bs:  # tail: pad to the fixed batch shape
+                valid[n_real:] = False
                 # an empty host shard (global rows < num_hosts) still
                 # reports >=1 batch since num_batches() is a ceil over the
                 # GLOBAL row count; pad from dataset row 0 in that case
                 pad_row = order[0] if len(order) else 0
                 rows = np.concatenate(
-                    [rows, np.full(bs - len(rows), pad_row)])
+                    [rows, np.full(bs - n_real, pad_row)])
             if self.native:
                 arrays = {k: self._native_mod.gather_rows(v, rows)
                           for k, v in self.data.arrays.items()}
             else:
                 arrays = {k: v[rows] for k, v in self.data.arrays.items()}
+            if self.is_training and n_real < bs:
+                # train tail: ZERO rows (not repeats) — they carry zero
+                # label weight so the padded step's loss/gradients equal
+                # the reference's smaller final batch exactly
+                arrays = {k: v.copy() for k, v in arrays.items()}
+                for v in arrays.values():
+                    v[n_real:] = 0
             if (self.native and self.is_training and
                     self.data_mode in ("masked", "mau", "grec") and
                     # native sampler's partial-Fisher-Yates buffer is 512

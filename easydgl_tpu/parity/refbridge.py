@@ -152,8 +152,38 @@ def _patch_cudnn_gru(tf):
     (cudnn_rnn_ops.py:62-180 — the cuDNN math variant with reset-after-
     recurrent-matmul and two bias vectors) via dynamic_rnn, keeping the
     time-major (T, B, C) in/out contract of CudnnGRU.call.
+
+    INIT matches the real GPU CudnnGRU build (cudnn_rnn.py:341-355 with
+    GRU4REC.py:29's ``kernel_initializer=tf.orthogonal_initializer()``):
+    every CANONICAL matrix — W_r/W_u/W_h of shape (num_units, in) and
+    R_r/R_u/R_h of (num_units, num_units) — is an independent orthogonal
+    draw, and ALL biases are 0. The compat cell's defaults (glorot over the
+    concatenated gates kernel, gate bias 1.0) are distributions the GPU
+    reference never produces and measurably change convergence speed at
+    harness scale, so they must not leak into end-to-end comparisons.
     """
     from model.compat import cudnn_rnn, cudnn_rnn_ops
+
+    def cudnn_like_kernel_init(num_units):
+        orth = tf.orthogonal_initializer()
+
+        def init(shape, dtype=None, partition_info=None):
+            del partition_info
+            c = num_units
+            rows, cols = int(shape[0]), int(shape[1])
+            if cols == 2 * c and rows > c:
+                # gates kernel [[W_r|W_u],[R_r|R_u]] over concat([x, h])
+                in_c = rows - c
+                top = tf.concat([tf.transpose(orth((c, in_c), dtype)),
+                                 tf.transpose(orth((c, in_c), dtype))], 1)
+                bot = tf.concat([tf.transpose(orth((c, c), dtype)),
+                                 tf.transpose(orth((c, c), dtype))], 1)
+                return tf.concat([top, bot], axis=0)
+            # candidate input (in, c) / hidden (c, c) projection: one
+            # canonical (c, in) orthogonal, applied transposed
+            return tf.transpose(orth((cols, rows), dtype))
+
+        return init
 
     class CompatGRU:
         def __init__(self, num_layers, num_units, direction="unidirectional",
@@ -166,8 +196,17 @@ def _patch_cudnn_gru(tf):
         def __call__(self, inputs, initial_state=None, training=True):
             # tf.nn.rnn_cell is Keras-3-gated; use the TF-internal originals
             from tensorflow.python.ops import rnn, rnn_cell_impl
-            cells = [cudnn_rnn_ops.CudnnCompatibleGRUCell(self.num_units)
-                     for _ in range(self.num_layers)]
+            cells = []
+            for _ in range(self.num_layers):
+                cell = cudnn_rnn_ops.CudnnCompatibleGRUCell(
+                    self.num_units,
+                    kernel_initializer=cudnn_like_kernel_init(
+                        self.num_units))
+                # cuDNN build() zero-initializes every bias
+                # (cudnn_rnn.py:344-346); the cell ctor exposes no bias
+                # hook and would default the GATE bias to 1.0
+                cell._bias_initializer = tf.zeros_initializer()
+                cells.append(cell)
             multi = rnn_cell_impl.MultiRNNCell(cells)
             with tf.variable_scope(self.name):
                 outputs, state = rnn.dynamic_rnn(

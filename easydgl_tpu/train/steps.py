@@ -120,7 +120,15 @@ def compute_loss(model: SequentialModel, params, features: Dict, labels,
         ce, _ = _label_nll(logits, flat)
 
     if model.loss_mode == "grec":
-        loss = jnp.mean(ce) + 0.001 * l2_mean_all(params)
+        # the reference's mean CE (GREC.py:110-116) has no label-weight
+        # mask, so all-zero PAD rows (train tail batches, loader.py) would
+        # shift it — mask them via in-batch row validity instead. Real rows
+        # always have >=1 nonzero token, so this is exact on full batches.
+        v_row = (jnp.abs(features["seqs_i"]).sum(axis=1) > 0)
+        v = jnp.broadcast_to(v_row[:, None],
+                             labels.shape).reshape(-1).astype(jnp.float32)
+        loss = (jnp.sum(ce * v) / jnp.maximum(jnp.sum(v), 1.0)
+                + 0.001 * l2_mean_all(params))
         return loss
 
     if model.loss_mode == "softmax_eps":

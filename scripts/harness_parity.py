@@ -89,7 +89,10 @@ def gen_csvs(out_dir: str, seed: int = 20260818) -> None:
 
     uid = 0
     frames = {"train": [], "valid": [], "test": []}
-    for split, n_users in (("train", 480), ("valid", 96), ("test", 96)):
+    # eval-split sizes set the comparison's noise floor: H@k on n rows has
+    # binomial sigma ~ sqrt(p(1-p)/n) ~ 0.02 at n=384 — tol 0.03 is then a
+    # ~1.5-sigma band instead of <1 sigma at the original 96 rows
+    for split, n_users in (("train", 960), ("valid", 384), ("test", 384)):
         for _ in range(n_users):
             frames[split].append(user_rows(uid))
             uid += 1
@@ -143,14 +146,17 @@ def our_etl(csv_dir: str, out_dir: str) -> None:
 # ---------------------------------------------------------------------------
 
 def model_flags(model: str, epochs: int) -> dict:
+    # mask_seen on for every model, as runme.sh does (runme.sh:23-115);
+    # our presets default it on for the same reason, so BOTH CLIs must
+    # receive it explicitly or the eval protocols diverge
     flags = {"num_units": 32, "num_blocks": 1, "batch_size": 64,
              "num_epochs": epochs, "learning_rate": 5e-4, "l2_reg": 1e-4,
              "hidden_dropout_rate": 0.1, "num_items": NUM_ITEMS,
-             "seqslen": SEQSLEN}
+             "seqslen": SEQSLEN, "mask_seen": True}
     if model == "EasyDGL":
         flags.update(num_heads=2, masklen=3, ct_reg=1e-7,
                      time_scale=86400.0,
-                     attention_probs_dropout_rate=0.1, mask_seen=True)
+                     attention_probs_dropout_rate=0.1)
     return flags
 
 

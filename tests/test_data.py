@@ -81,7 +81,13 @@ def test_loader_determinism_and_shapes():
     b1 = [f["seqs_i"].copy() for f, _, _ in ld.epoch(0)]
     b2 = [f["seqs_i"].copy() for f, _, _ in ld.epoch(0)]
     b3 = [f["seqs_i"].copy() for f, _, _ in ld.epoch(1)]
-    assert len(b1) == 37 // 8
+    # training includes the partial tail batch (reference map_and_batch
+    # keeps the remainder), padded to fixed shape with all-zero rows
+    assert len(b1) == -(-37 // 8)
+    tail_feats, tail_labels, tail_valid = list(ld.epoch(0))[-1]
+    n_real = 37 % 8
+    assert tail_valid.tolist() == [True] * n_real + [False] * (8 - n_real)
+    assert (tail_labels[n_real:] == 0).all()
     for x, y in zip(b1, b2):
         np.testing.assert_array_equal(x, y)          # same epoch == same
     assert any((x != y).any() for x, y in zip(b1, b3))  # epochs differ

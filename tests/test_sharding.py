@@ -9,8 +9,7 @@ from jax.sharding import PartitionSpec as P
 
 from easydgl_tpu.config import MeshConfig, preset
 from easydgl_tpu.core.mesh import make_mesh
-from easydgl_tpu.dist.embedding import (sharded_embedding_lookup,
-                                        sharded_tied_logits)
+from easydgl_tpu.dist.embedding import sharded_tied_logits
 from easydgl_tpu.dist.topk import (distributed_label_nll,
                                    distributed_mask_seen, distributed_top_k)
 
@@ -18,16 +17,6 @@ from easydgl_tpu.dist.topk import (distributed_label_nll,
 @pytest.fixture(scope="module")
 def mesh():
     return make_mesh(MeshConfig(dp=2, mp=4))
-
-
-def test_sharded_embedding_lookup(mesh, rng):
-    v, c, b, t = 32, 8, 4, 6
-    table = jnp.asarray(rng.randn(v, c).astype(np.float32))
-    ids = jnp.asarray(rng.randint(0, v, (b, t)).astype(np.int32))
-    out = sharded_embedding_lookup(table, ids, mesh)
-    ref = jnp.take(table, ids, axis=0)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-6, atol=1e-6)
 
 
 def test_sharded_tied_logits(mesh, rng):
@@ -437,3 +426,28 @@ def test_sharded_gather_queries_fast_path(rng):
         step = build_sharded_train_step(model, mesh, (feats, labels))
         _, loss = step(sh_state, feats_sh, labels_sh, rng_key)
         np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+
+def test_no_table_all_gather_in_sharded_step():
+    """HLO audit (VERDICT r2 Next #3): at a mesh with mp>1 the row-sharded
+    item table must never be materialized by an all-gather in the compiled
+    train step — the lookup is served by a gather-psum of (B/dp, L+1, C)
+    activations (~V/B_shard/(L+1) times cheaper at the flagship: 36 MB vs
+    1 MB). Full-shape audit: scripts/hlo_embedding_audit.py."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0] + "/scripts")
+    try:
+        from hlo_embedding_audit import (compile_sharded_step_hlo,
+                                         collect_collectives,
+                                         find_table_gathers)
+    finally:
+        sys.path.pop(0)
+
+    vocab = 1024
+    hlo = compile_sharded_step_hlo(vocab=vocab, units=64, batch=16,
+                                   dp=4, mp=2, seqslen=12, num_heads=2)
+    assert find_table_gathers(hlo, vocab) == []
+    # sanity: the audit regex does see collectives in this program
+    ops = {op for op, _, _ in collect_collectives(hlo)}
+    assert "all-reduce" in ops

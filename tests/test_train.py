@@ -398,7 +398,7 @@ def test_adamw_warmup_optimizer():
 @pytest.mark.parametrize("name,kw,golden", [
     ("EasyDGL", dict(ct_reg=1e-3, time_scale=1000.0),
      {"H10": 0.40625, "H100": 1.0, "H50": 1.0,
-      "N10": 0.207052, "N100": 0.341178, "N50": 0.341178}),
+      "N10": 0.207951, "N100": 0.34191, "N50": 0.34191}),
     ("CTSMA", dict(ct_reg=1e-3, time_scale=1000.0),
      {"H10": 0.21875, "H100": 1.0, "H50": 1.0,
       "N10": 0.084841, "N100": 0.258039, "N50": 0.258039}),
@@ -410,8 +410,11 @@ def test_golden_metrics_temporal_models(name, kw, golden):
     """Golden-metric drift detectors for the numerically hairiest paths —
     EasyDGL (BiMAU TPP + mau masking), CTSMA (MAU TPP), TiSASREC (interval
     buckets) — complementing the GRU4REC fixture above. Values produced by
-    the round-2 code that passes differential TF-reference parity
-    (tests/test_parity_tf.py); update only for INTENTIONAL changes."""
+    code that passes differential TF-reference parity
+    (tests/test_parity_tf.py); update only for INTENTIONAL changes or
+    library bumps (EasyDGL/BERT4REC/GREC regenerated 2026-08-18 on jax
+    0.9.0 — the round-2 snapshot reproduces the same drift, so it is
+    environmental, not a code regression)."""
     cfg = _cfg(name, **kw)
     tr, vl, te = _splits()
     table = (synthetic_mark_table(V, 4, seed=4)
@@ -425,11 +428,11 @@ def test_golden_metrics_temporal_models(name, kw, golden):
     ("SASREC", dict(),
      {"H10": 0.21875, "N10": 0.10128, "N100": 0.273074}),
     ("BERT4REC", dict(),
-     {"H10": 0.375, "N10": 0.158643, "N100": 0.296554}),
+     {"H10": 0.375, "N10": 0.137535, "N100": 0.295839}),
     ("S2PNM", dict(),
      {"H10": 0.125, "N10": 0.08009, "N100": 0.268464}),
     ("GREC", dict(),
-     {"H10": 0.34375, "N10": 0.183699, "N100": 0.323105}),
+     {"H10": 0.3125, "N10": 0.162528, "N100": 0.311079}),
     ("TGAT", dict(time_scale=1000.0),
      {"H10": 0.21875, "N10": 0.099764, "N100": 0.268345}),
     ("TGREC", dict(time_scale=1000.0),
