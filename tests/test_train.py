@@ -363,14 +363,19 @@ def test_recommender_easydgl_marks():
 
 
 def test_golden_gru4rec_metrics():
-    """Golden-metric regression fixture: this exact config/seed produced
-    these metrics at round 1 (behavioral drift detector — update the
-    fixture only for INTENTIONAL numerics changes)."""
+    """Golden-metric regression fixture (behavioral drift detector — update
+    the fixture only for INTENTIONAL numerics changes). Regenerated
+    2026-08-18 with S2PNM's: the harness-parity round fixed the scan-GRU
+    init to the cuDNN build's per-matrix orthogonal (one orthogonal per
+    canonical gate matrix instead of one over the concatenated block).
+    NOTE: values are specific to the conftest's 8-virtual-device CPU
+    platform — regenerate under pytest (device count changes XLA:CPU
+    thread partitioning and thus float reduction order)."""
     cfg = _cfg("GRU4REC", num_heads=1)
     tr, vl, te = _splits()
     _, res = train_model(cfg, tr, vl, te, num_epochs=4)
-    golden = {"H10": 0.25, "H100": 1.0, "H50": 1.0,
-              "N10": 0.124913, "N100": 0.292502, "N50": 0.292502}
+    golden = {"H10": 0.5, "H100": 1.0, "H50": 1.0,
+              "N10": 0.24263, "N100": 0.352397, "N50": 0.352397}
     for k, v in golden.items():
         np.testing.assert_allclose(res[k], v, rtol=1e-4, err_msg=k)
 
@@ -430,7 +435,7 @@ def test_golden_metrics_temporal_models(name, kw, golden):
     ("BERT4REC", dict(),
      {"H10": 0.375, "N10": 0.137535, "N100": 0.295839}),
     ("S2PNM", dict(),
-     {"H10": 0.125, "N10": 0.08009, "N100": 0.268464}),
+     {"H10": 0.09375, "N10": 0.058964, "N100": 0.256834}),
     ("GREC", dict(),
      {"H10": 0.3125, "N10": 0.162528, "N100": 0.311079}),
     ("TGAT", dict(time_scale=1000.0),
