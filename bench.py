@@ -337,6 +337,32 @@ def orchestrate() -> int:
 
     partial: dict = {"device_kind": info.get("device_kind"),
                      "probe_attempts": info.get("probe_attempts")}
+    result = _run_measure(meas_to, dict(partial))
+    # Sanity retry: a healthy probe does not rule out a transiently
+    # degraded tunnel DURING measurement (observed 2026-08-19: 432 ms/step
+    # best-of-3 with the same binary measuring 18.3 ms minutes later). A
+    # faithful step beyond BENCH_SANITY_MS is implausible on any supported
+    # chip, so re-measure (bounded) and keep the faster run.
+    sanity = float(os.environ.get("BENCH_SANITY_MS", "100"))
+    retries = 0
+    while (result.get("value") and result.get("ms_per_step", 0) > sanity
+           and retries < 2):
+        retries += 1
+        time.sleep(float(os.environ.get("BENCH_SANITY_BACKOFF", "60")))
+        # the first run warmed the compile cache, so a retry is minutes —
+        # cap it so a hung retry can't triple the driver's wait
+        again = _run_measure(min(meas_to, 600.0), dict(partial))
+        if again.get("value") and (not result.get("value")
+                                   or again.get("ms_per_step", 1e9)
+                                   < result.get("ms_per_step", 1e9)):
+            result = again
+    if retries:
+        result["slow_retries"] = retries
+    print(json.dumps(result))
+    return 0
+
+
+def _run_measure(meas_to: float, partial: dict) -> dict:
     child = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--measure"],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
@@ -390,8 +416,7 @@ def orchestrate() -> int:
             except json.JSONDecodeError:
                 result = _error_json("unparseable RESULT line", "measure",
                                      partial)
-    print(json.dumps(result))
-    return 0
+    return result
 
 
 def main() -> int:

@@ -60,3 +60,47 @@ def test_peak_lookup_by_device_kind():
     assert bench._peak_for("TPU v6e")[0] == 918e12
     peak, label = bench._peak_for("Colossus Mk9")
     assert peak == 197e12 and "unknown" in label
+
+
+def test_sanity_retry_keeps_faster_run(monkeypatch, capsys):
+    """A transiently degraded tunnel can pass the probe yet measure an
+    implausibly slow step (observed: 432 ms best-of-3, 18.3 ms minutes
+    later); orchestrate() must re-measure and keep the faster run."""
+    import bench
+    runs = [{"metric": "m", "value": 1183.8, "ms_per_step": 432.5},
+            {"metric": "m", "value": 28019.8, "ms_per_step": 18.27}]
+    calls = []
+    monkeypatch.setattr(bench, "probe_backend",
+                        lambda *a, **k: (True, {"device_kind": "TPU v5 lite",
+                                                "probe_attempts": 1}))
+    def fake_measure(to, partial):
+        idx = min(len(calls), len(runs) - 1)
+        calls.append(to)
+        return dict(runs[idx])
+
+    monkeypatch.setattr(bench, "_run_measure", fake_measure)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("BENCH_SANITY_MS", "100")
+    assert bench.orchestrate() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ms_per_step"] == 18.27
+    assert out["slow_retries"] == 1
+    assert len(calls) == 2
+    assert calls[1] <= 600.0  # retries run under the capped timeout
+
+
+def test_sanity_retry_bounded_when_still_slow(monkeypatch, capsys):
+    import bench
+    monkeypatch.setattr(bench, "probe_backend",
+                        lambda *a, **k: (True, {"device_kind": "TPU v5 lite",
+                                                "probe_attempts": 1}))
+    calls = []
+    monkeypatch.setattr(
+        bench, "_run_measure",
+        lambda to, partial: calls.append(to) or
+        {"metric": "m", "value": 1000.0, "ms_per_step": 500.0})
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench.orchestrate() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["slow_retries"] == 2 and len(calls) == 3
+    assert out["ms_per_step"] == 500.0  # still reported, flagged
