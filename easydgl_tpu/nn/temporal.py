@@ -186,7 +186,12 @@ class MAU(nn.Module):
     fused_qkvt: bool = False          # BiMAU/MGAU: single 4C projection
     causal_default: bool = True
     diag_reset: bool = False          # BiMAU: intensity diagonal := 1
-    intensity_impl: str = "xla"       # "xla" | "pallas" (fused head kernel)
+    # "xla" (materialized einsum chain) | "fused" (whole-chain Pallas
+    # kernel, kernels/mau_attention.py). A standalone intensity-head-only
+    # kernel existed through round 2 but was production-unreachable once
+    # the full-chain kernel landed, and was deleted (round-3 keep-or-
+    # delete; the chain kernel covers every accelerated call site).
+    intensity_impl: str = "xla"
 
     def setup(self):
         if self.fused_qkvt:
@@ -200,8 +205,8 @@ class MAU(nn.Module):
         dh = self.num_units // self.num_heads
         # intensity head (reference temporal.py:281-315): shared dense over
         # heads, per-event readout weight + learned log-scaling temperature.
-        # Dense params declared directly so the fused Pallas head
-        # (kernels/intensity.py) can consume them too.
+        # Dense params declared directly so the fused Pallas chain kernel
+        # (kernels/mau_attention.py) can consume them too.
         self.intensity_kernel = self.param(
             "intensity_dense_kernel", glorot(), (dh + 1, dh * self.num_events))
         self.intensity_bias = self.param(
@@ -221,25 +226,14 @@ class MAU(nn.Module):
         The scaled softplus ``s * log(1 + exp(x / s))`` with ``s = exp(p)``
         reproduces temporal.py:299-306.
         """
-        from easydgl_tpu.nn.layers import compute_dtype
         b, h, tq, dh = h_units.shape
         e = self.num_events
         iv = jnp.broadcast_to(intervals[:, None, :, None], (b, h, tq, 1))
         x = jnp.concatenate([h_units, iv.astype(h_units.dtype)], axis=-1)
-        if self.intensity_impl == "pallas":
-            from easydgl_tpu.kernels.intensity import intensity_raw
-            cdt = compute_dtype()
-            flat = x.reshape(-1, dh + 1)
-            wd = self.intensity_kernel
-            if cdt is not None:
-                flat, wd = flat.astype(cdt), wd.astype(cdt)
-            raw = intensity_raw(flat, wd, self.intensity_bias,
-                                self.intensity_weight).reshape(b, h, tq, e)
-        else:
-            z = mxu_einsum("bhqc,cd->bhqd", x, self.intensity_kernel)
-            sig = jax.nn.sigmoid(z + self.intensity_bias)   # (B,H,Tq,dh*E)
-            sig = sig.reshape(b, h, tq, e, dh)              # event-major
-            raw = mxu_einsum("bhqed,ed->bhqe", sig, self.intensity_weight)
+        z = mxu_einsum("bhqc,cd->bhqd", x, self.intensity_kernel)
+        sig = jax.nn.sigmoid(z + self.intensity_bias)       # (B,H,Tq,dh*E)
+        sig = sig.reshape(b, h, tq, e, dh)                  # event-major
+        raw = mxu_einsum("bhqed,ed->bhqe", sig, self.intensity_weight)
         s = jnp.exp(self.intensity_scaling)             # (E,)
         mark_intensity = s * jax.nn.softplus(raw / s)   # (B,H,Tq,E)
         intensity_qk = mxu_einsum("bhqe,bke->bhqk", mark_intensity, mark_onehot.astype(mark_intensity.dtype))

@@ -3,7 +3,8 @@
 Isolates the self-modulating attention block at the flagship EasyDGL shape
 (B=512, H=8, T=31, dh=64, E=64) to attribute train-step time:
   xla    — stock XLA chain (materializes the (B,H,T,E*dh) sigmoid)
-  pallas — XLA chain + fused intensity-head kernel (round-1 best)
+  (the standalone intensity-head kernel was deleted round 3; "fused" is
+  the whole-chain kernel)
   fused  — single full-chain Pallas kernel (round-2, kernels/mau_attention)
 """
 import os
@@ -55,5 +56,5 @@ def bench(impl):
 
 if __name__ == "__main__":
     import sys
-    for impl in (sys.argv[1:] or ["xla", "pallas", "fused"]):
+    for impl in (sys.argv[1:] or ["xla", "fused"]):
         bench(impl)

@@ -98,35 +98,6 @@ def test_compute_loss_kernel_vs_xla(rng):
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
 
 
-def test_intensity_kernel_parity(rng):
-    from easydgl_tpu.kernels.intensity import (intensity_raw,
-                                               intensity_raw_reference)
-    n, c, e, dh = 24, 9, 3, 4
-    x = jnp.asarray(rng.randn(n, c).astype(np.float32))
-    wd = jnp.asarray(rng.randn(c, e * dh).astype(np.float32))
-    bd = jnp.asarray(rng.randn(e * dh).astype(np.float32))
-    w = jnp.asarray(rng.randn(e, dh).astype(np.float32))
-
-    out = intensity_raw(x, wd, bd, w, 8)
-    ref = intensity_raw_reference(x, wd, bd, w)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=1e-4, atol=1e-5)
-
-    coef = jnp.asarray(rng.randn(n, e).astype(np.float32))
-
-    def loss_k(x, wd, bd, w):
-        return jnp.sum(intensity_raw(x, wd, bd, w, 8) * coef)
-
-    def loss_r(x, wd, bd, w):
-        return jnp.sum(intensity_raw_reference(x, wd, bd, w) * coef)
-
-    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, wd, bd, w)
-    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, wd, bd, w)
-    for a, b, name in zip(gk, gr, ("dx", "dwd", "dbd", "dw")):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5, err_msg=name)
-
-
 def test_easydgl_pallas_intensity_path(rng):
     """EasyDGL loss with use_pallas=True (fused NLL + fused intensity head)
     must equal the XLA path."""
@@ -160,24 +131,6 @@ def test_easydgl_pallas_intensity_path(rng):
             model, params, feats, jnp.asarray(labels),
             {"dropout": jax.random.key(2)}))
     np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
-
-
-def test_intensity_kernel_bf16_mode(rng):
-    """Mixed-precision inputs take the bf16 selector fast path; result must
-    stay within bf16-level tolerance of the fp32 reference."""
-    from easydgl_tpu.kernels.intensity import (intensity_raw,
-                                               intensity_raw_reference)
-    n, c, e, dh = 16, 9, 3, 4
-    x32 = rng.randn(n, c).astype(np.float32)
-    wd32 = rng.randn(c, e * dh).astype(np.float32) * 0.1
-    bd = jnp.asarray(rng.randn(e * dh).astype(np.float32) * 0.1)
-    w = jnp.asarray(rng.randn(e, dh).astype(np.float32))
-    out = intensity_raw(jnp.asarray(x32, jnp.bfloat16),
-                        jnp.asarray(wd32, jnp.bfloat16), bd, w, 8)
-    ref = intensity_raw_reference(jnp.asarray(x32), jnp.asarray(wd32),
-                                  bd, w)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=3e-2, atol=3e-2)
 
 
 def _mau_data(rng, b=3, h=2, t=7, dh=8, e=5):
