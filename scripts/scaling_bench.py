@@ -102,6 +102,15 @@ def main():
                           "examples_per_sec": round(eps, 1),
                           "scaling_efficiency": round(eff, 3)}))
 
+    # the exact BASELINE.md target-table rows, ready to paste the moment
+    # multi-chip hardware exists (the >=0.85 efficiency target row)
+    print("\n| devices | examples/s | scaling efficiency (vs 1-device) |")
+    print("|---|---|---|")
+    for nd, eps in results.items():
+        eff = eps / (results[1] * nd) if nd > 1 else 1.0
+        note = " (functional CPU run — not perf)" if tiny else ""
+        print(f"| {nd} | {eps:,.0f}{note} | {eff:.3f} |")
+
 
 if __name__ == "__main__":
     main()
