@@ -157,6 +157,10 @@ def model_flags(model: str, epochs: int) -> dict:
         flags.update(num_heads=2, masklen=3, ct_reg=1e-7,
                      time_scale=86400.0,
                      attention_probs_dropout_rate=0.1)
+    elif model == "TiSASREC":
+        # runme.sh:TiSASREC block: interval buckets + daily time scale
+        flags.update(num_heads=2, timelen=64, time_scale=86400.0,
+                     attention_probs_dropout_rate=0.1)
     return flags
 
 
