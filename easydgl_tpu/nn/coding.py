@@ -89,7 +89,15 @@ class PositionCoding(nn.Module):
 
 
 class TimeIntervalCoding(nn.Module):
-    """Embedding over integer Δt buckets (reference coding.py:82-94)."""
+    """Embedding over integer Δt buckets (reference coding.py:82-94).
+
+    TiSASREC clips buckets to [0, timelen] INCLUSIVE while this table has
+    ``timelen`` rows (TiSASREC.py:59 vs :31-32), so the edge bucket is an
+    out-of-range gather. The reference's published numbers come from a GPU,
+    where TF gather stores ZEROS for out-of-bound indices (CPU TF raises);
+    that zero-vector semantic is reproduced here exactly — and mirrored for
+    the CPU-run reference by parity/refbridge._patch_gpu_gather_semantics.
+    """
     vocab_size: int
     num_units: int
 
@@ -98,7 +106,9 @@ class TimeIntervalCoding(nn.Module):
                                zero_pad=False, scale=False, name="pembs")
 
     def code(self, inputs: jnp.ndarray) -> jnp.ndarray:
-        return self.pembs(inputs)
+        ok = (inputs >= 0) & (inputs < self.vocab_size)
+        out = self.pembs(inputs)
+        return out * ok[..., None].astype(out.dtype)
 
 
 class TimeFunctionCoding(nn.Module):

@@ -145,6 +145,42 @@ def write_mark_pickle(table: np.ndarray, path: str) -> str:
     return path
 
 
+def _patch_gpu_gather_semantics(tf):
+    """Make tf.nn.embedding_lookup on CPU behave like the GPU the reference
+    ran on: out-of-bound indices produce ZERO vectors instead of raising.
+
+    TiSASREC clips interval buckets to [0, timelen] INCLUSIVE while its
+    TimeIntervalCoding table has only ``timelen`` rows (TiSASREC.py:59 vs
+    :31-32), so the edge bucket Δt >= timelen is an out-of-range gather.
+    tf.gather documents "On GPU, if an out of bound index is found, a 0 is
+    stored in the corresponding output value"; on CPU it errors — the
+    published Netflix numbers therefore embody the zero-vector semantics,
+    which this shim reproduces exactly (and the TPU build mirrors in
+    nn/coding.py::TimeIntervalCoding)."""
+    orig = tf.nn.embedding_lookup
+    if getattr(orig, "_gpu_like", False):   # idempotent across RefModels
+        return
+
+    def gpu_like(params, ids, *a, **kw):
+        if isinstance(params, (list, tuple)) and len(params) == 1:
+            params = params[0]
+        if isinstance(params, (list, tuple)):
+            return orig(params, ids, *a, **kw)   # partitioned: untouched
+        v = params.shape[0]
+        if v is None or not np.issubdtype(
+                np.dtype(ids.dtype.as_numpy_dtype), np.integer):
+            return orig(params, ids, *a, **kw)
+        safe = tf.clip_by_value(ids, 0, int(v) - 1)
+        out = orig(params, safe, *a, **kw)
+        ok = tf.cast(tf.logical_and(ids >= 0, ids < tf.cast(int(v),
+                                                            ids.dtype)),
+                     out.dtype)
+        return out * tf.expand_dims(ok, -1)
+
+    gpu_like._gpu_like = True
+    tf.nn.embedding_lookup = gpu_like
+
+
 def _patch_cudnn_gru(tf):
     """Replace compat.cudnn_rnn.CudnnGRU with a CPU-runnable equivalent.
 
@@ -244,6 +280,7 @@ class RefModel:
         """
         tf, model_pkg = load_ref()
         _patch_cudnn_gru(tf)
+        _patch_gpu_gather_semantics(tf)
         self._tf = tf
         tf.reset_default_graph()
         tf.set_random_seed(seed)

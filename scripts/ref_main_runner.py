@@ -43,10 +43,12 @@ def main():
     tf.disable_v2_behavior()
     from easydgl_tpu.parity.refbridge import (_install_layers_shim,
                                               _install_tracking_shim,
-                                              _patch_cudnn_gru)
+                                              _patch_cudnn_gru,
+                                              _patch_gpu_gather_semantics)
     _install_tracking_shim()
     _install_layers_shim(tf)
     _patch_cudnn_gru(tf)
+    _patch_gpu_gather_semantics(tf)
 
     sys.argv = ["main.py"] + sys.argv[2:]
     runpy.run_path(os.path.join(ref_src, "main.py"), run_name="__main__")

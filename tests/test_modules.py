@@ -46,6 +46,23 @@ def test_embedding_zero_pad_and_scale(rng):
     np.testing.assert_allclose(out[0, 1], table[1] * 2.0, rtol=1e-6)  # sqrt(4)
 
 
+def test_interval_coding_edge_bucket_is_zero(rng):
+    """TiSASREC's clip produces bucket == timelen while the table has
+    timelen rows; the reference-on-GPU gather stores ZEROS for that
+    out-of-bound index (nn/coding.py::TimeIntervalCoding docstring) —
+    in-range buckets look up normally."""
+    from easydgl_tpu.nn.coding import TimeIntervalCoding
+    tc = TimeIntervalCoding(vocab_size=5, num_units=4)
+    ids = jnp.asarray([[0, 4, 5, 7]])
+    params = tc.init(jax.random.key(0), ids, method=tc.code)
+    out = np.asarray(tc.apply(params, ids, method=tc.code))
+    table = np.asarray(params["params"]["pembs"]["lookup_table"])
+    np.testing.assert_allclose(out[0, 0], table[0], rtol=1e-6)
+    np.testing.assert_allclose(out[0, 1], table[4], rtol=1e-6)
+    np.testing.assert_allclose(out[0, 2], np.zeros(4), atol=0)   # == vocab
+    np.testing.assert_allclose(out[0, 3], np.zeros(4), atol=0)   # beyond
+
+
 def test_position_coding_concat(rng):
     pc = PositionCoding(vocab_size=10, num_units=3)
     x = jnp.asarray(rng.randn(2, 5, 3).astype(np.float32))

@@ -407,9 +407,12 @@ def test_adamw_warmup_optimizer():
     ("CTSMA", dict(ct_reg=1e-3, time_scale=1000.0),
      {"H10": 0.21875, "H100": 1.0, "H50": 1.0,
       "N10": 0.084841, "N100": 0.258039, "N50": 0.258039}),
+    # regenerated 2026-08-19: the interval edge bucket (Δt >= timelen) now
+    # produces ZERO vectors, matching the reference-on-GPU gather semantics
+    # (nn/coding.py::TimeIntervalCoding docstring)
     ("TiSASREC", dict(time_scale=1000.0, timelen=20),
      {"H10": 0.25, "H100": 1.0, "H50": 1.0,
-      "N10": 0.109497, "N100": 0.272232, "N50": 0.272232}),
+      "N10": 0.114603, "N100": 0.278111, "N50": 0.278111}),
 ])
 def test_golden_metrics_temporal_models(name, kw, golden):
     """Golden-metric drift detectors for the numerically hairiest paths —
