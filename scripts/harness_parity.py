@@ -161,6 +161,12 @@ def model_flags(model: str, epochs: int) -> dict:
         # runme.sh:TiSASREC block: interval buckets + daily time scale
         flags.update(num_heads=2, timelen=64, time_scale=86400.0,
                      attention_probs_dropout_rate=0.1)
+    elif model == "BERT4REC":
+        flags.update(num_heads=2, masklen=3,
+                     attention_probs_dropout_rate=0.1)
+    elif model == "CTSMA":
+        flags.update(num_heads=2, ct_reg=1e-7, time_scale=86400.0,
+                     attention_probs_dropout_rate=0.1)
     return flags
 
 

@@ -55,8 +55,9 @@ def build_step():
     from easydgl_tpu.models.registry import build_model
     from easydgl_tpu.train.steps import build_train_step, init_state
 
-    cfg = preset("EasyDGL").replace(num_events=E, compute_dtype="bfloat16",
-                                    use_pallas=True)
+    cfg = preset("EasyDGL").replace(
+        num_events=E, compute_dtype="bfloat16",
+        use_pallas=os.environ.get("ROOFLINE_XLA_ONLY", "") != "1")
     model = build_model(cfg)
     ds = synthetic_split(num_rows=cfg.batch_size, num_items=cfg.num_items,
                          seqslen=cfg.seqslen, seed=0)
