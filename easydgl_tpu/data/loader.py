@@ -64,6 +64,7 @@ class BatchLoader:
                  seed: int = 9876, host_id: int = 0, num_hosts: int = 1,
                  mark_table: Optional[np.ndarray] = None,
                  needs_marks: bool = False,
+                 marks_on_device: bool = False,
                  use_native: Optional[bool] = None):
         from easydgl_tpu.data import native as _native
         self.data = dataset
@@ -74,6 +75,10 @@ class BatchLoader:
         self.seed = seed
         self.mark_table = mark_table
         self.needs_marks = needs_marks
+        # train_model's steps look marks up from a device-resident table
+        # (train/steps.py::device_marks) — the host path then skips the
+        # (B, L+1, E) float materialization AND its per-batch H2D transfer
+        self.marks_on_device = marks_on_device
         self.mask_id = dataset.num_items if mask_id is None else mask_id
         self.protocol = make_protocol(data_mode, masklen=masklen,
                                       mask_id=self.mask_id)
@@ -168,7 +173,8 @@ class BatchLoader:
             else:
                 features, labels = self.protocol(arrays, self.is_training,
                                                  rng)
-            if self.needs_marks and self.mark_table is not None:
+            if (self.needs_marks and self.mark_table is not None
+                    and not self.marks_on_device):
                 features["seqs_marks"] = self._marks_of(
                     features["seqs_i"]).astype(np.float32)
                 if self.is_training:

@@ -39,7 +39,8 @@ def metric_sums_from_topk(top_idx: jnp.ndarray, true_items: jnp.ndarray,
     return out
 
 
-def build_distributed_eval_step(model: SequentialModel, mesh: Mesh):
+def build_distributed_eval_step(model: SequentialModel, mesh: Mesh,
+                                mark_table=None):
     """jitted (params, features, labels, valid) -> metric sums with the
     catalog scored shard-locally and top-k merged across the model axis.
 
@@ -51,11 +52,15 @@ def build_distributed_eval_step(model: SequentialModel, mesh: Mesh):
     model_axis = mesh.axis_names[1]
     data_axis = mesh.axis_names[0]
     mp = mesh.shape[model_axis]
+    mt = None if mark_table is None else jnp.asarray(mark_table)
 
     def step(params, features, labels, valid):
         from easydgl_tpu.core.mesh import use_spmd_mesh
         from easydgl_tpu.nn.layers import use_compute_dtype
+        from easydgl_tpu.train.steps import device_marks
         with use_compute_dtype(cfg.matmul_dtype), use_spmd_mesh(mesh):
+            features = device_marks(features, labels, mt,
+                                    is_training=False)
             _, aux = model.apply(params, features, is_training=False)
         hidden, table, bias = aux[SCORING]
         # the model's own dense logits einsum is unused -> DCE'd by XLA

@@ -31,7 +31,8 @@ def make_loaders(cfg: Config, model: SequentialModel,
                  train: PackedDataset, valid: PackedDataset,
                  test: PackedDataset,
                  mark_table: Optional[np.ndarray] = None,
-                 host_id: int = 0, num_hosts: int = 1):
+                 host_id: int = 0, num_hosts: int = 1,
+                 marks_on_device: bool = False):
     """Per-host loaders. cfg.batch_size is the GLOBAL batch; each host
     loads batch_size/num_hosts rows of its disjoint shard and the batches
     are reassembled into global arrays by the multihost prefetcher."""
@@ -41,7 +42,7 @@ def make_loaders(cfg: Config, model: SequentialModel,
               batch_size=cfg.batch_size // num_hosts,
               masklen=cfg.masklen, seed=cfg.seed, mark_table=mark_table,
               needs_marks=model.uses_tpp, host_id=host_id,
-              num_hosts=num_hosts)
+              num_hosts=num_hosts, marks_on_device=marks_on_device)
     return (BatchLoader(train, is_training=True, **kw),
             BatchLoader(valid, is_training=False, **kw),
             BatchLoader(test, is_training=False, **kw))
@@ -108,14 +109,22 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
         # multi-host requires a global mesh for cross-host batch assembly
         from easydgl_tpu.core.mesh import make_mesh
         mesh = make_mesh(cfg.mesh)
+    # mark indicators are looked up ON DEVICE from a resident table
+    # (train/steps.py::device_marks) — the host loop then ships only ids
+    dev_marks = mark_table is not None and model.uses_tpp
+    mt = (np.asarray(mark_table).astype(np.float32) if dev_marks else None)
     tr_loader, vl_loader, te_loader = make_loaders(
         cfg, model, train_ds, valid_ds, test_ds, mark_table,
-        host_id=host_id, num_hosts=num_hosts)
+        host_id=host_id, num_hosts=num_hosts, marks_on_device=dev_marks)
 
     # init from one sample batch (host-local shapes are fine for shapes of
     # params; the step consumes GLOBAL batches)
     features, labels, _ = next(tr_loader.epoch(0))
     sample = {k: jnp.asarray(v) for k, v in features.items()}
+    if dev_marks:
+        from easydgl_tpu.train.steps import device_marks
+        sample = device_marks(sample, jnp.asarray(labels),
+                              jnp.asarray(mt), is_training=True)
     state = init_state(model, sample, cfg.seed)
     batch_sh = None
     if mesh is not None:
@@ -124,17 +133,19 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
                                                build_sharded_train_step,
                                                shard_state)
         state = shard_state(state, mesh)
-        train_step = build_sharded_train_step(model, mesh, None)
+        train_step = build_sharded_train_step(model, mesh, None,
+                                              mark_table=mt)
         mp = mesh.shape[mesh.axis_names[1]]
         if mp > 1 and model.vocab_size % mp == 0:
-            eval_step = build_distributed_eval_step(model, mesh)
+            eval_step = build_distributed_eval_step(model, mesh,
+                                                    mark_table=mt)
         else:
             from easydgl_tpu.train.sharded import build_sharded_eval_step
-            eval_step = build_sharded_eval_step(model, mesh)
+            eval_step = build_sharded_eval_step(model, mesh, mark_table=mt)
         batch_sh = lambda item: batch_shardings(item, mesh)
     else:
-        train_step = build_train_step(model)
-        eval_step = build_eval_step(model)
+        train_step = build_train_step(model, mark_table=mt)
+        eval_step = build_eval_step(model, mark_table=mt)
     rng = jax.random.key(cfg.seed, impl=cfg.resolved_prng_impl())
 
     ckpt = Checkpointer(ckpt_dir) if ckpt_dir else None

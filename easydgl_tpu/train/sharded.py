@@ -75,7 +75,8 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def build_sharded_train_step(model: SequentialModel, mesh: Mesh,
-                             sample_batch: Tuple[Dict, Any]):
+                             sample_batch: Tuple[Dict, Any],
+                             mark_table=None):
     """jit-compiled SPMD train step with explicit in/out shardings.
 
     The trace runs under ``use_spmd_mesh`` so Pallas-kernel call sites
@@ -83,11 +84,14 @@ def build_sharded_train_step(model: SequentialModel, mesh: Mesh,
     themselves in shard_map instead of hitting the auto-partitioner as
     unsplittable custom calls (core/mesh.py)."""
     from easydgl_tpu.core.mesh import use_spmd_mesh
+    from easydgl_tpu.train.steps import device_marks
     tx = build_optimizer(model.cfg.optim)
     import optax
+    mt = None if mark_table is None else jnp.asarray(mark_table)
 
     def step(state: TrainState, features, labels, rng):
         with use_spmd_mesh(mesh):
+            features = device_marks(features, labels, mt, is_training=True)
             dropout_rng = jax.random.fold_in(rng, state.step)
             loss, grads = jax.value_and_grad(
                 lambda p: compute_loss(model, p, features, labels,
@@ -101,7 +105,8 @@ def build_sharded_train_step(model: SequentialModel, mesh: Mesh,
     return jax.jit(step, donate_argnums=(0,))
 
 
-def build_sharded_eval_step(model: SequentialModel, mesh: Mesh):
+def build_sharded_eval_step(model: SequentialModel, mesh: Mesh,
+                            mark_table=None):
     """Fallback eval for meshes where vocab-sharded scoring does not apply
     (mp == 1, or vocab not divisible by mp): full (B/dp, V) logits are
     materialized per data shard and rank-counted directly. At mp == 1
@@ -112,11 +117,15 @@ def build_sharded_eval_step(model: SequentialModel, mesh: Mesh):
     scores shard-locally and merges top-k without ever materializing the
     full catalog row (VERDICT r2 weak #6 record)."""
     from easydgl_tpu.core.mesh import use_spmd_mesh
+    from easydgl_tpu.train.steps import device_marks
     mask_seen = model.cfg.mask_seen
     data_axis = mesh.axis_names[0]
+    mt = None if mark_table is None else jnp.asarray(mark_table)
 
     def step(params, features, labels, valid):
         with use_spmd_mesh(mesh):
+            features = device_marks(features, labels, mt,
+                                    is_training=False)
             logits, _ = model.apply(params, features, is_training=False)
             logits = jax.lax.with_sharding_constraint(
                 logits, NamedSharding(mesh, P(data_axis, None)))
