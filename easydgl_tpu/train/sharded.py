@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Dict, Tuple
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from easydgl_tpu.models.base import SequentialModel
