@@ -8,7 +8,9 @@ online (streaming) normalization over key blocks, so the (Tq, Tk) probs
 matrix never exists in HBM — memory is O(T·D) and sequence length is
 bounded by HBM capacity, not by the O(L^2) intermediate.
 
-Semantics (shared with dist/context.py's ring attention local step):
+Semantics (dist/context.py's ring attention instead keeps the XLA path's
+finite -2^32+1 mask constant bit-for-bit, since a ring visits every key
+chunk anyway — see that module for the contrast):
 
 * logits = (Q K^T) * scale, masked by ``key_mask`` (per-key, reference
   sequential.py:50-55) and optionally causal (``:58-63``).
