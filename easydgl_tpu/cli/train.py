@@ -33,6 +33,14 @@ def parse_args(argv=None):
                    help="data-parallel mesh size (0 = single device)")
     p.add_argument("--mp", type=int, default=1,
                    help="model-parallel (table row-shard) mesh size")
+    p.add_argument("--cp", type=int, default=1,
+                   help="context-parallel degree: shards the sequence over "
+                        "a third mesh axis; attention runs as a ring "
+                        "(dist/context.py) — for long-context configs")
+    p.add_argument("--attention_impl", default=None,
+                   choices=["xla", "flash"],
+                   help="MHA core (SASREC family): 'flash' = blockwise "
+                        "Pallas kernel, O(T) memory for long sequences")
     p.add_argument("--num_items", type=int)
     p.add_argument("--seqslen", type=int)
     p.add_argument("--num_units", type=int)
@@ -73,7 +81,7 @@ def build_config(args):
               "num_epochs", "num_events", "batch_size", "masklen", "timelen",
               "time_scale", "l2_reg", "ct_reg", "hidden_dropout_rate",
               "attention_probs_dropout_rate", "mask_seen", "seed",
-              "gather_queries"):
+              "gather_queries", "attention_impl"):
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v
@@ -135,10 +143,11 @@ def main(argv=None):
     logging.info("config: %s", cfg)
 
     mesh = None
-    if args.dp or args.mp > 1:
+    if args.dp or args.mp > 1 or args.cp > 1:
         from easydgl_tpu.config import MeshConfig
         from easydgl_tpu.core.mesh import make_mesh
-        mesh = make_mesh(MeshConfig(dp=args.dp or -1, mp=args.mp))
+        mesh = make_mesh(MeshConfig(dp=args.dp or -1, mp=args.mp,
+                                    cp=args.cp))
         logging.info("mesh: %s", dict(mesh.shape))
     if cfg.use_pallas is None:
         # accelerator backends get the fused Pallas kernels; under a mesh

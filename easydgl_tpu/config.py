@@ -21,10 +21,15 @@ class MeshConfig:
     """
     data_axis: str = "data"
     model_axis: str = "model"
-    # -1 means "use all devices on that axis"; (dp, mp) product must divide
-    # the device count.
+    seq_axis: str = "seq"
+    # -1 means "use all devices on that axis"; (dp, mp, cp) product must
+    # divide the device count.
     dp: int = -1
     mp: int = 1
+    # context-parallel degree: shards the SEQUENCE over a third mesh axis;
+    # attention runs as a ring (dist/context.py). Only useful for
+    # long-context configs — the reference's L=30 needs none.
+    cp: int = 1
 
 
 @dataclass(frozen=True)
@@ -106,6 +111,13 @@ class Config:
     # NOT reference-exact (per-example LayerNorm moments see only those
     # rows — models/easydgl.py docstring). Off for parity/benchmarks.
     gather_queries: bool = False
+    # attention implementation for the time-independent MHA family
+    # (SASREC & co): "xla" materializes the (T, T) probs (reference
+    # semantics, right for L=30); "flash" streams key blocks through the
+    # blockwise Pallas kernel (kernels/flash_attention.py) — O(T) memory,
+    # the long-context mode. Under a cp>1 mesh the ring path takes over
+    # regardless of this flag.
+    attention_impl: str = "xla"
     # dropout PRNG: "auto" = the hardware rbg generator on TPU (threefry's
     # per-step u32 fusions cost ~0.7 ms/step at the flagship shape),
     # threefry2x32 elsewhere (keeps CPU goldens/determinism fixtures
@@ -194,6 +206,14 @@ PRESETS = {
     "TGREC": _p("TGREC", num_units=50, num_heads=1, num_blocks=3,
                 learning_rate=1e-3, batch_size=128, l2_reg=0.0,
                 mask_seen=True, time_scale=86400.0),
+    # Long-context SASREC: NEW capability beyond the reference's L=30
+    # ceiling (SURVEY.md §5 long-context row) — blockwise flash attention
+    # (O(T) memory); combine with --cp N for ring context parallelism.
+    "SASREC-LC": _p("SASREC", num_units=512, hidden_dropout_rate=0.1,
+                    attention_probs_dropout_rate=0.1, learning_rate=5e-4,
+                    batch_size=64, seqslen=2048, num_blocks=2, num_heads=8,
+                    mask_seen=True, attention_impl="flash",
+                    compute_dtype="bfloat16"),
 }
 
 

@@ -16,25 +16,44 @@ from easydgl_tpu.config import MeshConfig
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
-    """Build a (data, model) mesh over all (or given) devices.
+    """Build a (data, model[, seq]) mesh over all (or given) devices.
 
-    dp/mp of -1 are resolved so dp*mp == len(devices), preferring to grow the
-    data axis (dense towers are replicated; table shards ride the model axis).
+    dp/mp of -1 are resolved so dp*mp*cp == len(devices), preferring to grow
+    the data axis (dense towers are replicated; table shards ride the model
+    axis). cp > 1 appends a third SEQUENCE axis (context parallelism —
+    ring attention, dist/context.py); 2-axis consumers keep working since
+    data/model stay axis_names[0]/[1].
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    dp, mp = cfg.dp, cfg.mp
+    dp, mp, cp = cfg.dp, cfg.mp, cfg.cp
+    assert cp >= 1 and n % cp == 0, f"{n} devices not divisible by cp={cp}"
+    nn = n // cp
     if mp == -1 and dp == -1:
-        dp, mp = n, 1
+        dp, mp = nn, 1
     elif dp == -1:
-        assert n % mp == 0, f"{n} devices not divisible by mp={mp}"
-        dp = n // mp
+        assert nn % mp == 0, f"{nn} devices not divisible by mp={mp}"
+        dp = nn // mp
     elif mp == -1:
-        assert n % dp == 0, f"{n} devices not divisible by dp={dp}"
-        mp = n // dp
-    assert dp * mp == n, f"dp*mp={dp*mp} != {n} devices"
+        assert nn % dp == 0, f"{nn} devices not divisible by dp={dp}"
+        mp = nn // dp
+    assert dp * mp * cp == n, f"dp*mp*cp={dp*mp*cp} != {n} devices"
+    if cp > 1:
+        arr = np.asarray(devices).reshape(dp, mp, cp)
+        return Mesh(arr, (cfg.data_axis, cfg.model_axis, cfg.seq_axis))
     arr = np.asarray(devices).reshape(dp, mp)
     return Mesh(arr, (cfg.data_axis, cfg.model_axis))
+
+
+def seq_axis_info(mesh):
+    """(axis_name, size) of the mesh's context-parallel (sequence) axis,
+    or (None, 1) when the mesh is None / 2-axis / cp == 1."""
+    if mesh is not None and len(mesh.axis_names) >= 3:
+        name = mesh.axis_names[2]
+        size = mesh.shape[name]
+        if size > 1:
+            return name, size
+    return None, 1
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -78,6 +78,40 @@ def catalog_nll_spmd(hidden, table, bias, labels, mesh,
         out_specs=(P(data_ax), P(data_ax)))(hidden, table, bias, labels)
 
 
+def flash_attention_spmd(q, k, v, key_mask, mesh, *, causal: bool,
+                         dropout_rate: float = 0.0, seed=0,
+                         block_q: int = 256, block_k: int = 256):
+    """Data- and head-sharded blockwise (flash) attention.
+
+    q/k/v: (B, H, T, D); batch rides the data axis; whole heads ride the
+    model axis when it divides H (the kernel is per-(b, h) independent, so
+    both splits are exact). The per-shard dropout seed is offset by both
+    mesh coordinates so no two shards share a PRNG stream (same scheme as
+    ``mau_attention_spmd``)."""
+    from easydgl_tpu.kernels.flash_attention import flash_attention
+    data_ax, model_ax = mesh.axis_names[0], mesh.axis_names[1]
+    mp = mesh.shape[model_ax]
+    h = q.shape[1]
+    shard_heads = mp > 1 and h % mp == 0
+    heads = model_ax if shard_heads else None
+
+    def local(q_, k_, v_, km_, seed_):
+        di = jax.lax.axis_index(data_ax)
+        shard_seed = seed_ + (di + 1) * jnp.int32(104729)
+        if shard_heads:
+            mi = jax.lax.axis_index(model_ax)
+            shard_seed = shard_seed + (mi + 1) * jnp.int32(15485863)
+        return flash_attention(q_, k_, v_, km_, causal=causal,
+                               dropout_rate=dropout_rate, seed=shard_seed,
+                               block_q=block_q, block_k=block_k)
+
+    d4 = P(data_ax, heads, None, None)
+    return jax.shard_map(
+        local, mesh=mesh, check_vma=False,
+        in_specs=(d4, d4, d4, P(data_ax, None), P()),
+        out_specs=d4)(q, k, v, key_mask, jnp.asarray(seed, jnp.int32))
+
+
 def mau_attention_spmd(q, k, v, t, key_mask, intervals, onehot,
                        wd, bd, w, scaling, seed, mesh,
                        causal: bool, diag_reset: bool, dropout_rate: float,

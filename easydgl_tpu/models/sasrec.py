@@ -41,6 +41,7 @@ class SASREC(SequentialModel):
         for i in range(cfg.num_blocks):
             attn = MultiHeadAttention(cfg.num_units, cfg.num_heads,
                                       cfg.attention_probs_dropout_rate,
+                                      impl=cfg.attention_impl,
                                       name=f"block{i}_attn")
             ffn = FeedForward((cfg.num_units, cfg.num_units),
                               cfg.hidden_dropout_rate, name=f"block{i}_ffn")

@@ -51,23 +51,89 @@ def attention_probs(q: jnp.ndarray, k: jnp.ndarray, *,
 
 
 class MultiHeadAttention(nn.Module):
-    """Vanilla MHA with residual (reference sequential.py:16-83)."""
+    """Vanilla MHA with residual (reference sequential.py:16-83).
+
+    ``impl`` selects the attention core:
+
+    * ``"xla"`` — materialized (T, T) probs, the reference semantics
+      verbatim (right for L=30).
+    * ``"flash"`` — the blockwise Pallas kernel
+      (kernels/flash_attention.py): O(T) memory for long-context configs.
+      The kernel zeroes fully-masked rows; this wrapper patches those rows
+      back to the XLA path's uniform-fallback value (mean over ALL values
+      — the finite -2^32+1 mask constant softmaxes a dead row to uniform),
+      so the module output matches "xla" on EVERY row at dropout 0. Under
+      a (data, model) mesh the kernel shard_maps itself
+      (kernels/spmd.py::flash_attention_spmd).
+    * any impl — when the active SPMD mesh carries a cp>1 SEQUENCE axis
+      (core/mesh.py::seq_axis_info), the ring context-parallel path
+      (dist/context.py) takes over: T stays sharded, K/V rotate over ICI.
+
+    Dropout placement is identical everywhere (normalize, then drop +
+    rescale); the flash/ring PRNG streams differ from nn.Dropout's, so
+    exact-parity tests pin rate 0.
+    """
     num_units: int
     num_heads: int
     dropout_rate: float = 0.0
+    impl: str = "xla"
+
+    def _seed(self, rate: float):
+        if rate <= 0.0:
+            return jnp.zeros((), jnp.int32)
+        return jax.random.randint(self.make_rng("dropout"), (), 0,
+                                  jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
 
     @nn.compact
     def __call__(self, queries, keys, *, deterministic: bool, causality: bool):
+        from easydgl_tpu.core.mesh import spmd_mesh, seq_axis_info
         q = split_heads(Dense(self.num_units, name="q")(queries), self.num_heads)
         k = split_heads(Dense(self.num_units, name="k")(keys), self.num_heads)
         v = split_heads(Dense(self.num_units, name="v")(keys), self.num_heads)
 
         # sign(|sum_c keys|) over the RAW key tensor (sequential.py:50)
         key_mask = jnp.sign(jnp.abs(jnp.sum(keys, axis=-1)))
+        residual = queries[:, :, :self.num_units]
+        rate = 0.0 if deterministic else float(self.dropout_rate)
+        mesh = spmd_mesh()
+        seq_ax, cp = seq_axis_info(mesh)
+
+        if seq_ax is not None:
+            from easydgl_tpu.dist.context import ring_attention_spmd
+            ctx = ring_attention_spmd(
+                q, k, v, key_mask, mesh, seq_axis=seq_ax,
+                data_axis=mesh.axis_names[0], causal=causality,
+                dropout_rate=rate, seed=self._seed(rate))
+            return merge_heads(ctx) + residual
+
+        if self.impl == "flash":
+            seed = self._seed(rate)
+            if mesh is not None:
+                from easydgl_tpu.kernels.spmd import flash_attention_spmd
+                ctx = flash_attention_spmd(q, k, v, key_mask, mesh,
+                                           causal=causality,
+                                           dropout_rate=rate, seed=seed)
+            else:
+                from easydgl_tpu.kernels.flash_attention import \
+                    flash_attention
+                ctx = flash_attention(q, k, v, key_mask, causal=causality,
+                                      dropout_rate=rate, seed=seed)
+            # uniform-fallback patch for fully-masked rows (see docstring)
+            if causality:
+                vis = jnp.cumsum(key_mask, axis=1) > 0  # (B, Tq)
+            else:
+                vis = jnp.broadcast_to(
+                    jnp.any(key_mask > 0, axis=1, keepdims=True),
+                    key_mask.shape)
+            mean_v = jnp.mean(v, axis=2, keepdims=True)  # (B, H, 1, D)
+            ctx = jnp.where(vis[:, None, :, None], ctx, mean_v)
+            return merge_heads(ctx) + residual
+
         probs = attention_probs(q, k, key_mask=key_mask, causal=causality)
         probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
         ctx = merge_heads(mxu_einsum("bhqk,bhkd->bhqd", probs, v))
-        return ctx + queries[:, :, :self.num_units]
+        return ctx + residual
 
 
 class BERTAttention(nn.Module):
