@@ -137,7 +137,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, km_ref, out_ref, lse_ref,
         q, k, v = q_ref[0], k_ref[0], v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        mask = _tile_mask(km_ref[...], causal=causal, qi=qi, ki=ki,
+        mask = _tile_mask(km_ref[0], causal=causal, qi=qi, ki=ki,
                           bq=bq, bk=bk)
         s = jnp.where(mask, s, NEG)
         m_prev = m_sc[:, :1]
@@ -160,7 +160,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, km_ref, out_ref, lse_ref,
         l = l_sc[:, :1]
         out_ref[0] = jnp.where(l > 0.0, acc_sc[:] / jnp.maximum(l, 1e-37),
                                0.0).astype(out_ref.dtype)
-        lse_ref[0] = (m_sc[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-37)))
+        lse_ref[0] = (m_sc[:, :1] + jnp.log(jnp.maximum(l, 1e-37)))
 
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, km_ref, do_ref, lse_ref,
@@ -178,14 +178,14 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, km_ref, do_ref, lse_ref,
     @pl.when(live)
     def _step():
         q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        lse = lse_ref[0][:, None]
-        p, mask = _probs_tile(q, k, km_ref[...], lse, scale=scale,
+        lse = lse_ref[0]  # (bq, 1) column
+        p, mask = _probs_tile(q, k, km_ref[0], lse, scale=scale,
                               causal=causal, qi=qi, ki=ki, bq=bq, bk=bk)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if rate > 0.0:
             dp = dp * _keep_mask(bseed, (bq, bk), rate, interpret)
-        ds = p * (dp - dlt_ref[0][:, None])
+        ds = p * (dp - dlt_ref[0])
         ds = jnp.where(mask, ds, 0.0)  # masked logits carry zero grad
         dq_sc[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -213,8 +213,8 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, km_ref, do_ref, lse_ref,
     @pl.when(live)
     def _step():
         q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        lse = lse_ref[0][:, None]
-        p, mask = _probs_tile(q, k, km_ref[...], lse, scale=scale,
+        lse = lse_ref[0]  # (bq, 1) column
+        p, mask = _probs_tile(q, k, km_ref[0], lse, scale=scale,
                               causal=causal, qi=qi, ki=ki, bq=bq, bk=bk)
         pd = p
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -226,7 +226,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, km_ref, do_ref, lse_ref,
         dv_sc[:] += jax.lax.dot_general(
             pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - dlt_ref[0][:, None])
+        ds = p * (dp - dlt_ref[0])
         ds = jnp.where(mask, ds, 0.0)
         dk_sc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -239,7 +239,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, km_ref, do_ref, lse_ref,
 
 
 def _prep(q, k, v, key_mask, bq, bk):
-    """(B, H, T, D) -> padded (B*H, Tp, Dp) + (B*H, Tkp) mask."""
+    """(B, H, T, D) -> padded (B*H, Tp, Dp) + (B*H, 1, Tkp) mask."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
     tqp, tkp = _round_up(tq, bq), _round_up(tk, bk)
@@ -247,7 +247,10 @@ def _prep(q, k, v, key_mask, bq, bk):
     if key_mask is None:
         key_mask = jnp.ones((b, tk), jnp.float32)
     km = jnp.pad(key_mask.astype(jnp.float32), ((0, 0), (0, tkp - tk)))
-    km = jnp.broadcast_to(km[:, None], (b, h, tkp)).reshape(b * h, tkp)
+    # (bh, 1, tkp): the unit middle dim keeps the block's sublane dim equal
+    # to the array dim (Mosaic tiling rule: last-two block dims must be
+    # (8k, 128k) or equal to the array's)
+    km = jnp.broadcast_to(km[:, None], (b, h, tkp)).reshape(b * h, 1, tkp)
 
     def pack(x, tp):
         bb, hh, t, dd = x.shape
@@ -264,7 +267,7 @@ def _common_specs(bq, bk, dp):
         pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
         pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
         pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, bk), lambda b, i, j: (b, j)),
+        pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j)),
     ]
 
 
@@ -292,11 +295,11 @@ def _flash_fwd(q, k, v, key_mask, seed, scale, causal, rate, blocks,
         in_specs=_common_specs(bq, bk, dpad),
         out_specs=[
             pl.BlockSpec((1, bq, dpad), lambda b_, i, j: (b_, i, 0)),
-            pl.BlockSpec((1, bq), lambda b_, i, j: (b_, i)),
+            pl.BlockSpec((1, bq, 1), lambda b_, i, j: (b_, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, tqp, dpad), q.dtype),
-            jax.ShapeDtypeStruct((bh, tqp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tqp, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, dpad), jnp.float32),
@@ -325,12 +328,13 @@ def _flash_bwd(scale, causal, rate, blocks, interpret, res, g):
     go = go.reshape(bh, tqp, dpad)
     # delta = rowsum(dO * O) — the softmax-jacobian row term
     delta = jnp.sum(go.astype(jnp.float32) *
-                    out_padded.astype(jnp.float32), axis=-1)
+                    out_padded.astype(jnp.float32), axis=-1,
+                    keepdims=True)  # (bh, tqp, 1) column layout
 
     row_specs = [
         pl.BlockSpec((1, bq, dpad), lambda b_, i, j: (b_, i, 0)),  # do
-        pl.BlockSpec((1, bq), lambda b_, i, j: (b_, i)),           # lse
-        pl.BlockSpec((1, bq), lambda b_, i, j: (b_, i)),           # delta
+        pl.BlockSpec((1, bq, 1), lambda b_, i, j: (b_, i, 0)),     # lse
+        pl.BlockSpec((1, bq, 1), lambda b_, i, j: (b_, i, 0)),     # delta
     ]
 
     dq = pl.pallas_call(
@@ -351,10 +355,10 @@ def _flash_bwd(scale, causal, rate, blocks, interpret, res, g):
         pl.BlockSpec((1, bq, dpad), lambda b_, j, i: (b_, i, 0)),  # q
         pl.BlockSpec((1, bk, dpad), lambda b_, j, i: (b_, j, 0)),  # k
         pl.BlockSpec((1, bk, dpad), lambda b_, j, i: (b_, j, 0)),  # v
-        pl.BlockSpec((1, bk), lambda b_, j, i: (b_, j)),           # km
+        pl.BlockSpec((1, 1, bk), lambda b_, j, i: (b_, 0, j)),     # km
         pl.BlockSpec((1, bq, dpad), lambda b_, j, i: (b_, i, 0)),  # do
-        pl.BlockSpec((1, bq), lambda b_, j, i: (b_, i)),           # lse
-        pl.BlockSpec((1, bq), lambda b_, j, i: (b_, i)),           # delta
+        pl.BlockSpec((1, bq, 1), lambda b_, j, i: (b_, i, 0)),     # lse
+        pl.BlockSpec((1, bq, 1), lambda b_, j, i: (b_, i, 0)),     # delta
     ]
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,

@@ -57,8 +57,10 @@ class BERT4REC(SequentialModel):
         for i in range(cfg.num_blocks):
             a = BERTAttention(cfg.num_units, cfg.num_heads,
                               cfg.attention_probs_dropout_rate,
-                              name=f"block{i}_attn")(x, x, attn_mask,
-                                                     deterministic=det)
+                              impl=cfg.attention_impl,
+                              name=f"block{i}_attn")(
+                x, x, attn_mask, deterministic=det,
+                key_mask=(ids != 0).astype(jnp.float32))
             a = Dense(cfg.num_units, name=f"block{i}_attn_out")(a)
             a = nn.Dropout(cfg.hidden_dropout_rate, deterministic=det)(a)
             a = ContribLayerNorm(name=f"block{i}_ln0")(a + x)

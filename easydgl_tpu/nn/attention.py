@@ -137,15 +137,26 @@ class MultiHeadAttention(nn.Module):
 
 
 class BERTAttention(nn.Module):
-    """BERT-style attention, no residual (reference sequential.py:86-137)."""
+    """BERT-style attention, no residual (reference sequential.py:86-137).
+
+    ``impl``/CP dispatch mirror MultiHeadAttention but require the caller
+    to pass ``key_mask`` (B, Tk): the flash kernel and the ring path
+    consume per-key masks, not the materialized (B, Tq, Tk) tensor. When
+    the 2-D mask is given (BERT4REC's is an exact key-mask broadcast,
+    reference BERT4REC.py:74-79), the flash/ring outputs match the dense
+    path on every row (same uniform-fallback patch as
+    MultiHeadAttention)."""
     num_units: int
     num_heads: int
     dropout_rate: float = 0.0
     initializer_range: float = 0.02
+    impl: str = "xla"
 
     @nn.compact
-    def __call__(self, queries, keys, attention_mask, *, deterministic: bool):
+    def __call__(self, queries, keys, attention_mask, *,
+                 deterministic: bool, key_mask=None):
         """attention_mask: (B, Tq, Tk) or (B, 1, Tq, Tk); nonzero == attend."""
+        from easydgl_tpu.core.mesh import spmd_mesh, seq_axis_info
         init = truncated_normal(self.initializer_range)
         q = split_heads(Dense(self.num_units, kernel_init=init, name="q")(queries),
                         self.num_heads)
@@ -154,6 +165,41 @@ class BERTAttention(nn.Module):
         v = split_heads(Dense(self.num_units, kernel_init=init, name="v")(keys),
                         self.num_heads)
         d = q.shape[-1]
+        rate = 0.0 if deterministic else float(self.dropout_rate)
+        mesh = spmd_mesh()
+        seq_ax, _ = seq_axis_info(mesh)
+
+        if key_mask is not None and (seq_ax is not None or
+                                     self.impl == "flash"):
+            key_mask = key_mask.astype(jnp.float32)
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            if seq_ax is not None:
+                from easydgl_tpu.dist.context import ring_attention_spmd
+                ctx = ring_attention_spmd(
+                    q, k, v, key_mask, mesh, seq_axis=seq_ax,
+                    data_axis=mesh.axis_names[0], causal=False,
+                    dropout_rate=rate, seed=seed)
+            else:
+                if mesh is not None:
+                    from easydgl_tpu.kernels.spmd import flash_attention_spmd
+                    ctx = flash_attention_spmd(q, k, v, key_mask, mesh,
+                                               causal=False,
+                                               dropout_rate=rate, seed=seed)
+                else:
+                    from easydgl_tpu.kernels.flash_attention import \
+                        flash_attention
+                    ctx = flash_attention(q, k, v, key_mask, causal=False,
+                                          dropout_rate=rate, seed=seed)
+                vis = jnp.any(key_mask > 0, axis=1)[:, None, None, None]
+                mean_v = jnp.mean(v, axis=2, keepdims=True)
+                ctx = jnp.where(vis, ctx, mean_v)
+            return merge_heads(ctx)
+
         logits = mxu_einsum("bhqd,bhkd->bhqk", q, k) / (d ** 0.5)
         mask = attention_mask if attention_mask.ndim == 4 \
             else attention_mask[:, None]

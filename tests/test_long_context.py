@@ -61,6 +61,62 @@ def test_sasrec_flash_equals_xla():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_bert4rec_flash_equals_xla():
+    """BERT4REC's (B, Tq, Tk) attention mask is an exact key-mask
+    broadcast, so the flash core must reproduce the dense path."""
+    cfg = preset("BERT4REC").replace(
+        num_items=V, seqslen=7, num_units=16, num_heads=2, num_blocks=2,
+        masklen=3, batch_size=B, hidden_dropout_rate=0.0,
+        attention_probs_dropout_rate=0.0)
+    model_x = build_model(cfg)
+    model_f = build_model(cfg.replace(attention_impl="flash"))
+    ds = synthetic_split(num_rows=2 * B, num_items=V, seqslen=7, seed=3)
+    ld = BatchLoader(ds, data_mode="masked", batch_size=B, masklen=3,
+                     is_training=True)
+    features, _, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(v) for k, v in features.items()}
+    params = model_x.init({"params": jax.random.key(0),
+                           "dropout": jax.random.key(1)},
+                          feats, is_training=True)
+    lx, _ = model_x.apply(params, feats, is_training=False)
+    with pltpu.force_tpu_interpret_mode():
+        lf, _ = model_f.apply(params, feats, is_training=False)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lx),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_bert4rec_cp_logits_match_single(rng):
+    """BERT4REC (bidirectional ring) under a cp=4 mesh == single device;
+    model_seqslen is L+1 so L=7 -> T=8 divides cp."""
+    from easydgl_tpu.core.mesh import use_spmd_mesh
+    from easydgl_tpu.train.steps import init_state
+
+    cfg = preset("BERT4REC").replace(
+        num_items=V, seqslen=7, num_units=16, num_heads=2, num_blocks=2,
+        masklen=3, batch_size=B, hidden_dropout_rate=0.0,
+        attention_probs_dropout_rate=0.0)
+    model = build_model(cfg)
+    ds = synthetic_split(num_rows=2 * B, num_items=V, seqslen=7, seed=4)
+    ld = BatchLoader(ds, data_mode="masked", batch_size=B, masklen=3,
+                     is_training=False)
+    features, _, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(v) for k, v in features.items()}
+    state = init_state(model, feats, seed=0)
+    ref, _ = model.apply(state.params, feats, is_training=False)
+
+    mesh = make_mesh(MeshConfig(dp=2, mp=1, cp=4))
+
+    @jax.jit
+    def mesh_logits(params, feats):
+        with use_spmd_mesh(mesh):
+            lg, _ = model.apply(params, feats, is_training=False)
+        return lg
+
+    out = mesh_logits(state.params, feats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_sasrec_cp_train_step_matches_single(rng):
     """SASREC on a cp=4 mesh (ring attention, T sharded) == single device."""
     from easydgl_tpu.train.sharded import (batch_shardings,
