@@ -252,6 +252,7 @@ def measure() -> None:
     mfu = step_flops / (best_dt / STEPS) / peak
     _emit_phase("train_faithful", {
         "value": round(ex_per_sec, 1),
+        "vs_baseline": round(ex_per_sec / BASELINE_EXAMPLES_PER_SEC, 3),
         "ms_per_step": round(ms_per_step, 2),
         "mfu": round(mfu, 4),
         "mfu_peak": f"{peak/1e12:.0f}T bf16 ({peak_kind})",
@@ -295,7 +296,52 @@ def measure() -> None:
     eval_seqs = 10 * cfg.batch_size / best_of_chains(eval_chain)
     _emit_phase("eval", {"eval_seqs_per_sec": round(eval_seqs, 1)})
 
+    # long-context capability (round 4): SASREC-LC (L=2048, bf16) train
+    # steps with the blockwise flash-attention kernel vs materialized XLA
+    # attention. Guarded so a failure here never costs the headline keys
+    # (the orchestrator already has them as phases); BENCH_LONGCTX=0 skips.
+    longctx = {}
+    if os.environ.get("BENCH_LONGCTX", "1") != "0":
+        try:
+            for impl in ("flash", "xla"):
+                lcfg = preset("SASREC-LC").replace(attention_impl=impl)
+                lmodel = build_model(lcfg)
+                lds = synthetic_split(num_rows=lcfg.batch_size,
+                                      num_items=lcfg.num_items,
+                                      seqslen=lcfg.seqslen, seed=0)
+                ll = BatchLoader(lds, data_mode="regressive",
+                                 batch_size=lcfg.batch_size,
+                                 masklen=lcfg.masklen, is_training=True)
+                lfr, lbr, _ = next(ll.epoch(0))
+                lfeats = {k: jax.device_put(jnp.asarray(v))
+                          for k, v in lfr.items()}
+                lb = jax.device_put(jnp.asarray(lbr))
+                lstate = init_state(lmodel, lfeats, seed=0)
+                lstep = build_train_step(lmodel, donate=False)
+                lstate, lloss = lstep(lstate, lfeats, lb, rng)
+                assert float(lloss) == float(lloss)
+                lbox = [lstate]
+
+                def lchain():
+                    s_, l_ = lbox[0], None
+                    for _ in range(5):
+                        s_, l_ = lstep(s_, lfeats, lb, rng)
+                    lbox[0] = s_
+                    return l_
+
+                ldt = best_of_chains(lchain, reps=2)
+                longctx[f"longctx_{impl}_ms_per_step"] = round(
+                    ldt / 5 * 1e3, 2)
+            longctx["longctx_config"] = (
+                f"SASREC-LC B={lcfg.batch_size} L={lcfg.seqslen} bf16")
+            _emit_phase("longctx", longctx)
+        except Exception as e:  # noqa: BLE001 — capability probe only
+            longctx = {"longctx_error":
+                       f"{type(e).__name__}: {e}"[:160]}
+            _emit_phase("longctx", longctx)
+
     print("RESULT " + json.dumps({
+        **longctx,
         **METRIC,
         "value": round(ex_per_sec, 1),
         "vs_baseline": round(ex_per_sec / BASELINE_EXAMPLES_PER_SEC, 3),

@@ -77,10 +77,15 @@ def _chunk_logits(q, k, km, qpos, kpos, *, scale, causal):
 
 
 def _ring_local(q, k, v, km, seed, *, seq_axis: str, causal: bool,
-                scale: Optional[float], rate: float):
+                scale: Optional[float], rate: float,
+                data_axis: Optional[str] = None):
     """Per-shard ring attention body (runs inside shard_map)."""
     cp = jax.lax.axis_size(seq_axis)
     my = jax.lax.axis_index(seq_axis)
+    if data_axis is not None:
+        # distinct dropout streams per data shard (same hygiene as
+        # kernels/spmd.py's per-coordinate seed offsets)
+        seed = seed + (jax.lax.axis_index(data_axis) + 1) * jnp.int32(104729)
     b, h, tl, d = q.shape
     scale = scale if scale is not None else 1.0 / (d ** 0.5)
     qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
@@ -124,7 +129,8 @@ def ring_attention_spmd(q, k, v, key_mask, mesh: Mesh, *, seq_axis: str,
     d3 = P(data_axis, None, seq_axis, None)
     dm = P(data_axis, seq_axis)
     body = partial(_ring_local, seq_axis=seq_axis, causal=causal,
-                   scale=scale, rate=float(dropout_rate))
+                   scale=scale, rate=float(dropout_rate),
+                   data_axis=data_axis)
     return jax.shard_map(
         body, mesh=mesh, check_vma=False,
         in_specs=(d3, d3, d3, dm, P()),
@@ -133,7 +139,8 @@ def ring_attention_spmd(q, k, v, key_mask, mesh: Mesh, *, seq_axis: str,
 
 
 def _ulysses_local(q, k, v, km, seed, *, seq_axis: str, causal: bool,
-                   scale: Optional[float], rate: float):
+                   scale: Optional[float], rate: float,
+                   data_axis: Optional[str] = None):
     """Per-shard Ulysses body: seq-shard -> head-shard -> attention ->
     seq-shard (runs inside shard_map)."""
     from easydgl_tpu.nn.attention import attention_probs
@@ -146,6 +153,9 @@ def _ulysses_local(q, k, v, km, seed, *, seq_axis: str, causal: bool,
                             scale=scale)
     if rate > 0.0:
         my = jax.lax.axis_index(seq_axis)
+        if data_axis is not None:
+            seed = seed + (jax.lax.axis_index(data_axis) + 1) * \
+                jnp.int32(104729)
         key = jax.random.fold_in(
             jax.random.fold_in(jax.random.key(1), seed), my)
         keep = jax.random.bernoulli(key, 1.0 - rate, probs.shape)
@@ -170,7 +180,8 @@ def ulysses_attention_spmd(q, k, v, key_mask, mesh: Mesh, *, seq_axis: str,
     d3 = P(data_axis, None, seq_axis, None)
     dm = P(data_axis, seq_axis)
     body = partial(_ulysses_local, seq_axis=seq_axis, causal=causal,
-                   scale=scale, rate=float(dropout_rate))
+                   scale=scale, rate=float(dropout_rate),
+                   data_axis=data_axis)
     return jax.shard_map(
         body, mesh=mesh, check_vma=False,
         in_specs=(d3, d3, d3, dm, P()),
