@@ -41,6 +41,9 @@ def parse_args(argv=None):
                    choices=["xla", "flash"],
                    help="MHA core (SASREC family): 'flash' = blockwise "
                         "Pallas kernel, O(T) memory for long sequences")
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="rematerialize encoder blocks in the backward "
+                        "(jax.checkpoint) — the long-context memory lever")
     p.add_argument("--num_items", type=int)
     p.add_argument("--seqslen", type=int)
     p.add_argument("--num_units", type=int)
@@ -81,7 +84,7 @@ def build_config(args):
               "num_epochs", "num_events", "batch_size", "masklen", "timelen",
               "time_scale", "l2_reg", "ct_reg", "hidden_dropout_rate",
               "attention_probs_dropout_rate", "mask_seen", "seed",
-              "gather_queries", "attention_impl"):
+              "gather_queries", "attention_impl", "remat"):
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v

@@ -118,6 +118,11 @@ class Config:
     # the long-context mode. Under a cp>1 mesh the ring path takes over
     # regardless of this flag.
     attention_impl: str = "xla"
+    # rematerialize each encoder block in the backward pass
+    # (jax.checkpoint via flax nn.remat): trades ~1 extra forward of block
+    # FLOPs for dropping every intra-block residual — the long-context
+    # memory lever (param names are unchanged; checkpoints interchange).
+    remat: bool = False
     # dropout PRNG: "auto" = the hardware rbg generator on TPU (threefry's
     # per-step u32 fusions cost ~0.7 ms/step at the flagship shape),
     # threefry2x32 elsewhere (keeps CPU goldens/determinism fixtures
@@ -211,7 +216,13 @@ PRESETS = {
     # (O(T) memory); combine with --cp N for ring context parallelism.
     "SASREC-LC": _p("SASREC", num_units=512, hidden_dropout_rate=0.1,
                     attention_probs_dropout_rate=0.1, learning_rate=5e-4,
-                    batch_size=64, seqslen=2048, num_blocks=2, num_heads=8,
+                    # B=32 fits the axon relay's effective HBM budget
+                    # (B=64 ResourceExhausted even with remat; the relay
+                    # grants ~4 GB of the chip's 16 — BASELINE.md round 4).
+                    # remat measured +21% step time at this size (169.3 vs
+                    # 139.7 ms) and B=32 fits without it, so it stays the
+                    # opt-in --remat lever for bigger configs.
+                    batch_size=32, seqslen=2048, num_blocks=2, num_heads=8,
                     mask_seen=True, attention_impl="flash",
                     compute_dtype="bfloat16"),
 }

@@ -243,6 +243,11 @@ def _prep(q, k, v, key_mask, bq, bk):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     tqp, tkp = _round_up(tq, bq), _round_up(tk, bk)
+    # D is padded to full 128-lane tiles: measured on v5e, an UNPADDED
+    # D=64 layout (legal — block dim == array dim) is a wash at the tuned
+    # blocks and ~1.2x SLOWER at mid-size blocks (the MXU charges 64-deep
+    # contractions like 128s while 64-lane relayouts add VPU shuffles);
+    # see BASELINE.md round 4
     dp = _round_up(d, 128)
     if key_mask is None:
         key_mask = jnp.ones((b, tk), jnp.float32)
@@ -391,7 +396,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q, k, v, key_mask=None, *, causal: bool = False,
                     scale=None, dropout_rate: float = 0.0, seed=0,
-                    block_q: int = 256, block_k: int = 256,
+                    block_q: int = 1024, block_k: int = 512,
                     interpret: bool = False):
     """Blockwise attention: out = dropout(softmax(mask(QK^T * scale))) @ V.
 
@@ -399,6 +404,11 @@ def flash_attention(q, k, v, key_mask=None, *, causal: bool = False,
     Masked probs are exactly zero; fully-masked rows output zero (see the
     module docstring for how that differs from the XLA reference path on
     left-pad rows only). O(T) memory — the probs tile never leaves VMEM.
+
+    Block defaults are the v5e sweep winners (scripts/flash_tune.py,
+    BASELINE.md round 4): K/V re-stream traffic scales with Tq/block_q,
+    so big q blocks win — (1024, 512) is 2.1x the old (256, 256) at
+    L=8192 and 1.3x at L=2048.
     """
     d = q.shape[-1]
     scale = float(scale) if scale is not None else 1.0 / (d ** 0.5)

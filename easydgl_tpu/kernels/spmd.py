@@ -80,7 +80,7 @@ def catalog_nll_spmd(hidden, table, bias, labels, mesh,
 
 def flash_attention_spmd(q, k, v, key_mask, mesh, *, causal: bool,
                          dropout_rate: float = 0.0, seed=0,
-                         block_q: int = 256, block_k: int = 256):
+                         block_q: int = 1024, block_k: int = 512):
     """Data- and head-sharded blockwise (flash) attention.
 
     q/k/v: (B, H, T, D); batch rides the data axis; whole heads ride the

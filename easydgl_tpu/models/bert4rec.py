@@ -54,21 +54,29 @@ class BERT4REC(SequentialModel):
         attn_mask = jnp.ones_like(ids, jnp.float32)[:, :, None] * \
             (ids != 0).astype(jnp.float32)[:, None, :]
 
+        key_mask = (ids != 0).astype(jnp.float32)
         for i in range(cfg.num_blocks):
-            a = BERTAttention(cfg.num_units, cfg.num_heads,
-                              cfg.attention_probs_dropout_rate,
-                              impl=cfg.attention_impl,
-                              name=f"block{i}_attn")(
-                x, x, attn_mask, deterministic=det,
-                key_mask=(ids != 0).astype(jnp.float32))
-            a = Dense(cfg.num_units, name=f"block{i}_attn_out")(a)
-            a = nn.Dropout(cfg.hidden_dropout_rate, deterministic=det)(a)
-            a = ContribLayerNorm(name=f"block{i}_ln0")(a + x)
-            m = Dense(2 * cfg.num_units, name=f"block{i}_inter")(a)
-            m = gelu_exact(m)
-            o = Dense(cfg.num_units, name=f"block{i}_out")(m)
-            o = nn.Dropout(cfg.hidden_dropout_rate, deterministic=det)(o)
-            x = ContribLayerNorm(name=f"block{i}_ln1")(o + a)
+            def block(mdl, x, attn_mask, key_mask, i=i):
+                cfg = mdl.cfg
+                a = BERTAttention(cfg.num_units, cfg.num_heads,
+                                  cfg.attention_probs_dropout_rate,
+                                  impl=cfg.attention_impl,
+                                  name=f"block{i}_attn")(
+                    x, x, attn_mask, deterministic=det, key_mask=key_mask)
+                a = Dense(cfg.num_units, name=f"block{i}_attn_out")(a)
+                a = nn.Dropout(cfg.hidden_dropout_rate,
+                               deterministic=det)(a)
+                a = ContribLayerNorm(name=f"block{i}_ln0")(a + x)
+                m = Dense(2 * cfg.num_units, name=f"block{i}_inter")(a)
+                m = gelu_exact(m)
+                o = Dense(cfg.num_units, name=f"block{i}_out")(m)
+                o = nn.Dropout(cfg.hidden_dropout_rate,
+                               deterministic=det)(o)
+                return ContribLayerNorm(name=f"block{i}_ln1")(o + a)
+
+            # nn.remat keeps the module scope: identical param names
+            x = (nn.remat(block) if cfg.remat else block)(
+                self, x, attn_mask, key_mask)
 
         x = gelu_exact(Dense(cfg.num_units, name="transform")(x))
         x = ContribLayerNorm(name="transform_ln")(x)

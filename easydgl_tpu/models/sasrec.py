@@ -39,17 +39,24 @@ class SASREC(SequentialModel):
         x = x * mask
 
         for i in range(cfg.num_blocks):
-            attn = MultiHeadAttention(cfg.num_units, cfg.num_heads,
-                                      cfg.attention_probs_dropout_rate,
-                                      impl=cfg.attention_impl,
-                                      name=f"block{i}_attn")
-            ffn = FeedForward((cfg.num_units, cfg.num_units),
-                              cfg.hidden_dropout_rate, name=f"block{i}_ffn")
-            x = attn(ContribLayerNorm(name=f"block{i}_ln0")(x), x,
-                     deterministic=not is_training, causality=True)
-            x = ffn(ContribLayerNorm(name=f"block{i}_ln1")(x),
-                    deterministic=not is_training)
-            x = x * mask
+            def block(mdl, x, mask, i=i):
+                cfg = mdl.cfg
+                attn = MultiHeadAttention(cfg.num_units, cfg.num_heads,
+                                          cfg.attention_probs_dropout_rate,
+                                          impl=cfg.attention_impl,
+                                          name=f"block{i}_attn")
+                ffn = FeedForward((cfg.num_units, cfg.num_units),
+                                  cfg.hidden_dropout_rate,
+                                  name=f"block{i}_ffn")
+                x = attn(ContribLayerNorm(name=f"block{i}_ln0")(x), x,
+                         deterministic=not is_training, causality=True)
+                x = ffn(ContribLayerNorm(name=f"block{i}_ln1")(x),
+                        deterministic=not is_training)
+                return x * mask
+
+            # nn.remat keeps the module scope, so param names (and hence
+            # checkpoints/fixtures) are identical with remat on or off
+            x = (nn.remat(block) if cfg.remat else block)(self, x, mask)
 
         x = ContribLayerNorm(name="out_ln")(x)
         hidden = prediction_rows(x, is_training)

@@ -47,7 +47,9 @@ def best_of(run_chain, reps=REPS):
 
 
 def bench_train(impl: str):
-    cfg = preset("SASREC-LC").replace(attention_impl=impl)
+    cfg = preset("SASREC-LC").replace(attention_impl=impl,
+                                      use_pallas=True)  # streaming NLL:
+    # the XLA loss path would materialize (B*L, 17772) logits = 9.3 GB
     model = build_model(cfg)
     ds = synthetic_split(num_rows=2 * cfg.batch_size,
                          num_items=cfg.num_items, seqslen=cfg.seqslen,
@@ -108,19 +110,31 @@ def bench_attention_core(lengths=(512, 2048, 8192), b=8, h=8, d=64):
             try:
                 out = fn(q, k, v)
                 float(out[0])  # compile + barrier
-                dt = best_of(lambda: float(fn(q, k, v)[0]))
+
+                def chain():
+                    o = None
+                    for _ in range(5):  # amortize the relay dispatch
+                        o = fn(q, k, v)
+                    return float(o[0])
+
+                dt = best_of(chain) / 5
                 print(f"attn core L={L:5d} [{name:5s}] {dt * 1e3:9.2f} ms "
-                      f"(fwd+bwd, B={b} H={h} D={d})")
+                      f"(fwd+bwd, B={b} H={h} D={d})", flush=True)
             except Exception as e:  # XLA OOM at long L is the point
                 print(f"attn core L={L:5d} [{name:5s}]    FAILED: "
-                      f"{type(e).__name__}: {str(e)[:120]}")
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
     if "--core_only" not in sys.argv:
-        if "--xla_only" not in sys.argv:
-            bench_train("flash")
-        if "--flash_only" not in sys.argv:
-            bench_train("xla")
+        impls = [i for i in ("flash", "xla")
+                 if f"--{'xla' if i == 'flash' else 'flash'}_only"
+                 not in sys.argv]
+        for impl in impls:
+            try:
+                bench_train(impl)
+            except Exception as e:  # XLA OOM at L=2048 is the point
+                print(f"SASREC-LC train [{impl:5s}]    FAILED: "
+                      f"{type(e).__name__}: {str(e)[:140]}", flush=True)
     bench_attention_core()

@@ -61,6 +61,29 @@ def test_sasrec_flash_equals_xla():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_remat_matches_no_remat(rng):
+    """cfg.remat (per-block jax.checkpoint, the long-context memory lever)
+    must change nothing: identical param tree, loss and grads."""
+    from easydgl_tpu.train.steps import compute_loss, init_state
+
+    cfg = _cfg()
+    feats, labels = _batch(cfg)
+    m0, m1 = build_model(cfg), build_model(cfg.replace(remat=True))
+    state = init_state(m0, feats, seed=0)
+
+    def loss(model):
+        return jax.value_and_grad(lambda p: compute_loss(
+            model, p, feats, labels, {"dropout": jax.random.key(1)}))(
+            state.params)
+
+    (l0, g0), (l1, g1) = loss(m0), loss(m1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g0),
+                               jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(pa))
+
+
 def test_bert4rec_flash_equals_xla():
     """BERT4REC's (B, Tq, Tk) attention mask is an exact key-mask
     broadcast, so the flash core must reproduce the dense path."""
