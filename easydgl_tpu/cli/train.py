@@ -41,6 +41,8 @@ def parse_args(argv=None):
                    choices=["xla", "flash"],
                    help="MHA core (SASREC family): 'flash' = blockwise "
                         "Pallas kernel, O(T) memory for long sequences")
+    p.add_argument("--cp_impl", default=None, choices=["ring", "ulysses"],
+                   help="context-parallel attention algorithm under --cp")
     p.add_argument("--remat", action="store_true", default=None,
                    help="rematerialize encoder blocks in the backward "
                         "(jax.checkpoint) — the long-context memory lever")
@@ -84,7 +86,7 @@ def build_config(args):
               "num_epochs", "num_events", "batch_size", "masklen", "timelen",
               "time_scale", "l2_reg", "ct_reg", "hidden_dropout_rate",
               "attention_probs_dropout_rate", "mask_seen", "seed",
-              "gather_queries", "attention_impl", "remat"):
+              "gather_queries", "attention_impl", "remat", "cp_impl"):
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v

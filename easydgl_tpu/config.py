@@ -118,6 +118,11 @@ class Config:
     # the long-context mode. Under a cp>1 mesh the ring path takes over
     # regardless of this flag.
     attention_impl: str = "xla"
+    # context-parallel attention algorithm under a cp>1 mesh:
+    # "ring" rotates K/V chunks via ppermute (no head-count constraint);
+    # "ulysses" re-shards sequence<->heads with two all_to_alls (needs
+    # num_heads % cp == 0; cheaper collective volume when heads divide).
+    cp_impl: str = "ring"
     # rematerialize each encoder block in the backward pass
     # (jax.checkpoint via flax nn.remat): trades ~1 extra forward of block
     # FLOPs for dropping every intra-block residual — the long-context

@@ -61,6 +61,7 @@ class BERT4REC(SequentialModel):
                 a = BERTAttention(cfg.num_units, cfg.num_heads,
                                   cfg.attention_probs_dropout_rate,
                                   impl=cfg.attention_impl,
+                                  cp_impl=cfg.cp_impl,
                                   name=f"block{i}_attn")(
                     x, x, attn_mask, deterministic=det, key_mask=key_mask)
                 a = Dense(cfg.num_units, name=f"block{i}_attn_out")(a)

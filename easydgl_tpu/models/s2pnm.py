@@ -44,6 +44,7 @@ class S2PNM(SequentialModel):
         x = MultiHeadAttention(cfg.num_units, cfg.num_heads,
                                cfg.attention_probs_dropout_rate,
                                impl=cfg.attention_impl,
+                               cp_impl=cfg.cp_impl,
                                name="attn")(
             ContribLayerNorm(name="attn_ln")(x), x,
             deterministic=det, causality=True)

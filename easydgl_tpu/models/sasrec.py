@@ -44,6 +44,7 @@ class SASREC(SequentialModel):
                 attn = MultiHeadAttention(cfg.num_units, cfg.num_heads,
                                           cfg.attention_probs_dropout_rate,
                                           impl=cfg.attention_impl,
+                                          cp_impl=cfg.cp_impl,
                                           name=f"block{i}_attn")
                 ffn = FeedForward((cfg.num_units, cfg.num_units),
                                   cfg.hidden_dropout_rate,

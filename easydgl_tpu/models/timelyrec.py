@@ -65,6 +65,7 @@ class TimelyREC(SequentialModel):
         x = MultiHeadAttention(cfg.num_units, cfg.num_heads,
                                cfg.attention_probs_dropout_rate,
                                impl=cfg.attention_impl,
+                               cp_impl=cfg.cp_impl,
                                name="user_attn")(
             ContribLayerNorm(name="user_attn_ln")(x), x,
             deterministic=det, causality=True)

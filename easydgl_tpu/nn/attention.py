@@ -66,8 +66,9 @@ class MultiHeadAttention(nn.Module):
       a (data, model) mesh the kernel shard_maps itself
       (kernels/spmd.py::flash_attention_spmd).
     * any impl — when the active SPMD mesh carries a cp>1 SEQUENCE axis
-      (core/mesh.py::seq_axis_info), the ring context-parallel path
-      (dist/context.py) takes over: T stays sharded, K/V rotate over ICI.
+      (core/mesh.py::seq_axis_info), the context-parallel path takes over
+      (dist/context.py): ``cp_impl`` picks ring (K/V rotate over ICI) or
+      ulysses (all_to_all seq<->head re-sharding; needs H % cp == 0).
 
     Dropout placement is identical everywhere (normalize, then drop +
     rescale); the flash/ring PRNG streams differ from nn.Dropout's, so
@@ -77,6 +78,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout_rate: float = 0.0
     impl: str = "xla"
+    cp_impl: str = "ring"  # ring | ulysses (under a cp>1 mesh)
 
     def _seed(self, rate: float):
         if rate <= 0.0:
@@ -100,8 +102,11 @@ class MultiHeadAttention(nn.Module):
         seq_ax, cp = seq_axis_info(mesh)
 
         if seq_ax is not None:
-            from easydgl_tpu.dist.context import ring_attention_spmd
-            ctx = ring_attention_spmd(
+            from easydgl_tpu.dist.context import (ring_attention_spmd,
+                                                  ulysses_attention_spmd)
+            cp_fn = (ulysses_attention_spmd if self.cp_impl == "ulysses"
+                     else ring_attention_spmd)
+            ctx = cp_fn(
                 q, k, v, key_mask, mesh, seq_axis=seq_ax,
                 data_axis=mesh.axis_names[0], causal=causality,
                 dropout_rate=rate, seed=self._seed(rate))
@@ -151,6 +156,7 @@ class BERTAttention(nn.Module):
     dropout_rate: float = 0.0
     initializer_range: float = 0.02
     impl: str = "xla"
+    cp_impl: str = "ring"  # ring | ulysses (under a cp>1 mesh)
 
     @nn.compact
     def __call__(self, queries, keys, attention_mask, *,
@@ -179,8 +185,12 @@ class BERTAttention(nn.Module):
             else:
                 seed = jnp.zeros((), jnp.int32)
             if seq_ax is not None:
-                from easydgl_tpu.dist.context import ring_attention_spmd
-                ctx = ring_attention_spmd(
+                from easydgl_tpu.dist.context import (
+                    ring_attention_spmd, ulysses_attention_spmd)
+                cp_fn = (ulysses_attention_spmd
+                         if self.cp_impl == "ulysses"
+                         else ring_attention_spmd)
+                ctx = cp_fn(
                     q, k, v, key_mask, mesh, seq_axis=seq_ax,
                     data_axis=mesh.axis_names[0], causal=False,
                     dropout_rate=rate, seed=seed)

@@ -21,10 +21,11 @@ V, L, B = 50, 8, 8
 
 
 def _cfg(**kw):
-    return preset("SASREC").replace(
-        num_items=V, seqslen=L, num_units=16, num_heads=2, num_blocks=2,
-        batch_size=B, hidden_dropout_rate=0.0,
-        attention_probs_dropout_rate=0.0, **kw)
+    base = dict(num_items=V, seqslen=L, num_units=16, num_heads=2,
+                num_blocks=2, batch_size=B, hidden_dropout_rate=0.0,
+                attention_probs_dropout_rate=0.0)
+    base.update(kw)
+    return preset("SASREC").replace(**base)
 
 
 def _batch(cfg, seed=7):
@@ -172,6 +173,34 @@ def test_sasrec_cp_train_step_matches_single(rng):
             jax.tree_util.tree_leaves_with_path(new_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5, err_msg=str(pa))
+
+
+def test_sasrec_cp_ulysses_matches_single(rng):
+    """cp_impl='ulysses' (all_to_all seq<->head re-sharding) as the CP
+    algorithm: same train-step equality as the ring (heads=4 divides
+    cp=4)."""
+    from easydgl_tpu.train.sharded import (batch_shardings,
+                                           build_sharded_train_step,
+                                           shard_state)
+    from easydgl_tpu.train.steps import build_train_step, init_state
+
+    cfg = _cfg(num_heads=4, cp_impl="ulysses")
+    model = build_model(cfg)
+    feats, labels = _batch(cfg)
+
+    state = init_state(model, feats, seed=0)
+    rng_key = jax.random.key(7)
+    ref_step = build_train_step(model, donate=False)
+    _, ref_loss = ref_step(state, feats, labels, rng_key)
+
+    mesh = make_mesh(MeshConfig(dp=2, mp=1, cp=4))
+    sh_state = shard_state(state, mesh)
+    b_sh = batch_shardings((feats, labels), mesh)
+    feats_sh = jax.tree.map(jax.device_put, feats, b_sh[0])
+    labels_sh = jax.device_put(labels, b_sh[1])
+    step = build_sharded_train_step(model, mesh, (feats, labels))
+    _, loss = step(sh_state, feats_sh, labels_sh, rng_key)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
 
 
 def test_cp_eval_matches_single(rng):
