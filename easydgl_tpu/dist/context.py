@@ -138,6 +138,121 @@ def ring_attention_spmd(q, k, v, key_mask, mesh: Mesh, *, seq_axis: str,
                       jnp.asarray(seed, jnp.int32))
 
 
+def _mau_ring_local(q, k, v, t, km, iv, oh, wd, bd, w, scaling, seed, *,
+                    seq_axis: str, causal: bool, diag_reset: bool,
+                    rate: float, data_axis: Optional[str]):
+    """Per-shard ring MAU (self-modulating attention, reference
+    temporal.py:267-452) — TWO ring sweeps:
+
+    1. online-softmax stats (m, l) + the exp-weighted T accumulation,
+       giving seq_units = softmax(probs) @ T exactly;
+    2. the intensity head runs SHARD-LOCALLY on seq_units (it only needs
+       the q rows), then the second sweep recomputes each probs chunk
+       from (m, l) and accumulates (intensity_qk * probs [* drop]) @ V.
+
+    The mark intensity lambda depends on the FULL-row normalized probs
+    (through seq_units), which is why a single online pass cannot fuse it
+    — the two-sweep split is the minimal exact decomposition.
+    """
+    cp = jax.lax.axis_size(seq_axis)
+    my = jax.lax.axis_index(seq_axis)
+    if data_axis is not None:
+        seed = seed + (jax.lax.axis_index(data_axis) + 1) * jnp.int32(104729)
+    b, h, tl, dh = q.shape
+    e = w.shape[0]
+    scale = 1.0 / (dh ** 0.5)
+    qf = q.astype(jnp.float32)
+    qpos = my * tl + jnp.arange(tl)
+    fwd_perm = [(i, (i + 1) % cp) for i in range(cp)]
+
+    # ---- sweep 1: softmax stats + seq_units ----
+    m = jnp.full((b, h, tl, 1), -1.0e38, jnp.float32)
+    l = jnp.zeros((b, h, tl, 1), jnp.float32)
+    su = jnp.zeros((b, h, tl, dh), jnp.float32)
+    kf, tf, kmf = k.astype(jnp.float32), t.astype(jnp.float32), km
+    for step in range(cp):
+        src = (my - step) % cp
+        kpos = src * tl + jnp.arange(tl)
+        s = _chunk_logits(qf, kf, kmf, qpos, kpos, scale=scale,
+                          causal=causal)
+        su, m, l = _online_update((su, m, l), s, tf, None)
+        if step + 1 < cp:
+            kf, tf, kmf = (jax.lax.ppermute(x, seq_axis, fwd_perm)
+                           for x in (kf, tf, kmf))
+    seq_units = su / l
+    lse = m + jnp.log(l)
+
+    # ---- intensity head (q-shard local; reference temporal.py:281-315) --
+    x = jnp.concatenate(
+        [seq_units, jnp.broadcast_to(iv[:, None, :, None],
+                                     (b, h, tl, 1)).astype(jnp.float32)],
+        axis=-1)
+    z = jnp.einsum("bhqc,cd->bhqd", x, wd.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    sig = jax.nn.sigmoid(z + bd).reshape(b, h, tl, e, dh)
+    raw = jnp.einsum("bhqed,ed->bhqe", sig, w.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    s_e = jnp.exp(scaling)
+    lam = s_e * jax.nn.softplus(raw / s_e)          # (B, H, Tl, E)
+
+    # ---- sweep 2: modulated output ----
+    acc = jnp.zeros((b, h, tl, dh), jnp.float32)
+    kf, vf, ohf, kmf = (k.astype(jnp.float32), v.astype(jnp.float32),
+                        oh.astype(jnp.float32), km)
+    for step in range(cp):
+        src = (my - step) % cp
+        kpos = src * tl + jnp.arange(tl)
+        s = _chunk_logits(qf, kf, kmf, qpos, kpos, scale=scale,
+                          causal=causal)
+        p = jnp.exp(s - lse)                        # normalized probs
+        iqk = jnp.einsum("bhqe,bke->bhqk", lam, ohf,
+                         preferred_element_type=jnp.float32)
+        if diag_reset:  # BiMAU: intensity diagonal := 1 (temporal.py:438)
+            is_diag = (kpos[None, None, None, :]
+                       == qpos[None, None, :, None])
+            iqk = jnp.where(is_diag, 1.0, iqk)
+        mod = iqk * p
+        if rate > 0.0:
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.key(2), seed), my * cp + step)
+            keep = jax.random.bernoulli(
+                key, 1.0 - rate, mod.shape) / (1.0 - rate)
+            mod = mod * keep
+        acc = acc + jnp.einsum("bhqk,bhkd->bhqd", mod, vf,
+                               preferred_element_type=jnp.float32)
+        if step + 1 < cp:
+            kf, vf, ohf, kmf = (jax.lax.ppermute(x, seq_axis, fwd_perm)
+                                for x in (kf, vf, ohf, kmf))
+    return acc.astype(q.dtype), lam
+
+
+def mau_ring_attention_spmd(q, k, v, t, key_mask, intervals, onehot,
+                            wd, bd, w, scaling, seed, mesh: Mesh, *,
+                            seq_axis: str, causal: bool, diag_reset: bool,
+                            dropout_rate: float = 0.0,
+                            data_axis: Optional[str] = None):
+    """Context-parallel MAU/BiMAU: q/k/v/t (B, H, T, dh) and
+    key_mask/intervals (B, T) sequence-sharded over ``mesh[seq_axis]``;
+    onehot (B, T, E) likewise; intensity params replicated (their grads
+    arrive via shard_map AD's psums). Returns (out (B,H,T,dh),
+    mark_intensity (B,H,T,E)) with the input shardings — exactly the XLA
+    MAU module path (nn/temporal.py) up to float accumulation order."""
+    d4 = P(data_axis, None, seq_axis, None)
+    d2 = P(data_axis, seq_axis)
+    d3 = P(data_axis, seq_axis, None)
+    body = partial(_mau_ring_local, seq_axis=seq_axis, causal=causal,
+                   diag_reset=diag_reset, rate=float(dropout_rate),
+                   data_axis=data_axis)
+    return jax.shard_map(
+        body, mesh=mesh, check_vma=False,
+        in_specs=(d4, d4, d4, d4, d2, d2, d3,
+                  P(None, None), P(None), P(None, None), P(None), P()),
+        out_specs=(d4, d4))(
+        q, k, v, t, key_mask.astype(jnp.float32),
+        intervals.astype(jnp.float32), onehot.astype(jnp.float32),
+        wd, bd, w, scaling, jnp.asarray(seed, jnp.int32))
+
+
 def _ulysses_local(q, k, v, km, seed, *, seq_axis: str, causal: bool,
                    scale: Optional[float], rate: float,
                    data_axis: Optional[str] = None):

@@ -301,6 +301,33 @@ class MAU(nn.Module):
         else:
             qpos_i = None
             q_res = queries[:, :, :self.num_units]
+
+        from easydgl_tpu.core.mesh import seq_axis_info, spmd_mesh
+        cp_mesh = spmd_mesh()
+        seq_ax, _ = seq_axis_info(cp_mesh)
+        if seq_ax is not None and qpos_i is None:
+            # context parallelism: ring MAU over the sequence mesh axis
+            # (dist/context.py). Gathered-query calls (Tq << Tk) keep the
+            # non-CP path — their q rows are not sequence-aligned.
+            from easydgl_tpu.dist.context import mau_ring_attention_spmd
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            out4, mark_intensity = mau_ring_attention_spmd(
+                split_heads(qq, h), split_heads(kk, h),
+                split_heads(vv, h), split_heads(tt, h),
+                key_mask, intervals, mark_onehot.astype(jnp.float32),
+                self.intensity_kernel, self.intensity_bias,
+                self.intensity_weight, self.intensity_scaling, seed,
+                cp_mesh, seq_axis=seq_ax, causal=causality,
+                diag_reset=self.diag_reset, dropout_rate=rate,
+                data_axis=cp_mesh.axis_names[0])
+            return merge_heads(out4) + q_res, mark_intensity
+
         if self.intensity_impl == "fused":
             # one Pallas kernel for the whole chain (kernels/mau_attention):
             # QK^T -> mask -> softmax -> probs@T -> intensity head ->

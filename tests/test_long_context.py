@@ -203,6 +203,51 @@ def test_sasrec_cp_ulysses_matches_single(rng):
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
 
 
+def test_easydgl_cp_train_step_matches_single(rng):
+    """The FLAGSHIP under CP: EasyDGL (BiMAU + marks + TPP) on a
+    (dp=2, mp=1, cp=4) mesh — the ring MAU (two-sweep online softmax +
+    shard-local intensity head, dist/context.py) must reproduce the
+    single-device step: loss and every param update."""
+    from easydgl_tpu.data.synthetic import synthetic_mark_table
+    from easydgl_tpu.train.sharded import (batch_shardings,
+                                           build_sharded_train_step,
+                                           shard_state)
+    from easydgl_tpu.train.steps import build_train_step, init_state
+
+    cfg = preset("EasyDGL").replace(
+        num_items=V, seqslen=7, num_units=16, num_heads=2, num_blocks=1,
+        num_events=4, masklen=3, batch_size=B, hidden_dropout_rate=0.0,
+        attention_probs_dropout_rate=0.0, ct_reg=1e-4)
+    model = build_model(cfg)
+    ds = synthetic_split(num_rows=2 * B, num_items=V, seqslen=7, seed=5)
+    table = synthetic_mark_table(V, 4, seed=2)
+    ld = BatchLoader(ds, data_mode="mau", batch_size=B, masklen=3,
+                     is_training=True, mark_table=table, needs_marks=True)
+    features, labels, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(v) for k, v in features.items()}
+    labels = jnp.asarray(labels)
+
+    state = init_state(model, feats, seed=0)
+    rng_key = jax.random.key(7)
+    ref_step = build_train_step(model, donate=False)
+    ref_state, ref_loss = ref_step(state, feats, labels, rng_key)
+
+    mesh = make_mesh(MeshConfig(dp=2, mp=1, cp=4))
+    sh_state = shard_state(state, mesh)
+    b_sh = batch_shardings((feats, labels), mesh)
+    feats_sh = jax.tree.map(jax.device_put, feats, b_sh[0])
+    labels_sh = jax.device_put(labels, b_sh[1])
+    step = build_sharded_train_step(model, mesh, (feats, labels))
+    new_state, loss = step(sh_state, feats_sh, labels_sh, rng_key)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for (pa, a), (_, b_) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_state.params),
+            jax.tree_util.tree_leaves_with_path(new_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(pa))
+
+
 def test_cp_eval_matches_single(rng):
     """Eval LOGITS under the cp mesh equal the single-device eval (rank
     counts can legitimately flip on the tiny random-init catalog when two
