@@ -265,14 +265,35 @@ def _prep(q, k, v, key_mask, bq, bk):
     return pack(q, tqp), pack(k, tkp), pack(v, tkp), km, (tqp, tkp, dp)
 
 
-def _common_specs(bq, bk, dp):
+def _k_clamp(causal: bool, bq: int, bk: int):
+    """Causal DMA skip for k-side blocks on the (bh, qi, ki) grids: dead
+    key blocks (strictly above the diagonal) map to the LAST LIVE block
+    index, so consecutive dead steps re-reference the block already in
+    VMEM and Mosaic fetches nothing (the compute is predicated off by the
+    kernels' ``live`` check) — halving causal K/V streaming."""
+    if not causal:
+        return lambda j, i: j
+    return lambda j, i: jnp.minimum(j, (i * bq + bq - 1) // bk)
+
+
+def _q_clamp(causal: bool, bq: int, bk: int):
+    """The mirror clamp for q-side blocks on the key-major (bh, ki, qi)
+    dK/dV grid: dead q blocks (before the diagonal) map up to the first
+    live one."""
+    if not causal:
+        return lambda i, j: i
+    return lambda i, j: jnp.maximum(i, (j * bk) // bq)
+
+
+def _common_specs(bq, bk, dp, causal):
     """(q, k, v, km) in-specs for the forward/dq grid (bh, qi, ki)."""
+    kc = _k_clamp(causal, bq, bk)
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),          # seed (1,)
         pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0)),
-        pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j)),
+        pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, kc(j, i), 0)),
+        pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, kc(j, i), 0)),
+        pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, kc(j, i))),
     ]
 
 
@@ -297,7 +318,7 @@ def _flash_fwd(q, k, v, key_mask, seed, scale, causal, rate, blocks,
     out, lse = pl.pallas_call(
         kern,
         grid=(bh, nq, nk),
-        in_specs=_common_specs(bq, bk, dpad),
+        in_specs=_common_specs(bq, bk, dpad, causal),
         out_specs=[
             pl.BlockSpec((1, bq, dpad), lambda b_, i, j: (b_, i, 0)),
             pl.BlockSpec((1, bq, 1), lambda b_, i, j: (b_, i, 0)),
@@ -346,7 +367,7 @@ def _flash_bwd(scale, causal, rate, blocks, interpret, res, g):
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           rate=rate, bq=bq, bk=bk, nk=nk, interpret=interpret),
         grid=(bh, nq, nk),
-        in_specs=_common_specs(bq, bk, dpad) + row_specs,
+        in_specs=_common_specs(bq, bk, dpad, causal) + row_specs,
         out_specs=pl.BlockSpec((1, bq, dpad), lambda b_, i, j: (b_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tqp, dpad), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, dpad), jnp.float32)],
@@ -355,15 +376,16 @@ def _flash_bwd(scale, causal, rate, blocks, interpret, res, g):
         interpret=interpret,
     )(seed_arr, qp, kp, vp, km, go, lse, delta)
 
+    qc = _q_clamp(causal, bq, bk)
     kv_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                     # seed
-        pl.BlockSpec((1, bq, dpad), lambda b_, j, i: (b_, i, 0)),  # q
+        pl.BlockSpec((1, bq, dpad), lambda b_, j, i: (b_, qc(i, j), 0)),
         pl.BlockSpec((1, bk, dpad), lambda b_, j, i: (b_, j, 0)),  # k
         pl.BlockSpec((1, bk, dpad), lambda b_, j, i: (b_, j, 0)),  # v
         pl.BlockSpec((1, 1, bk), lambda b_, j, i: (b_, 0, j)),     # km
-        pl.BlockSpec((1, bq, dpad), lambda b_, j, i: (b_, i, 0)),  # do
-        pl.BlockSpec((1, bq, 1), lambda b_, j, i: (b_, i, 0)),     # lse
-        pl.BlockSpec((1, bq, 1), lambda b_, j, i: (b_, i, 0)),     # delta
+        pl.BlockSpec((1, bq, dpad), lambda b_, j, i: (b_, qc(i, j), 0)),
+        pl.BlockSpec((1, bq, 1), lambda b_, j, i: (b_, qc(i, j), 0)),
+        pl.BlockSpec((1, bq, 1), lambda b_, j, i: (b_, qc(i, j), 0)),
     ]
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,

@@ -99,7 +99,7 @@ class MultiHeadAttention(nn.Module):
         residual = queries[:, :, :self.num_units]
         rate = 0.0 if deterministic else float(self.dropout_rate)
         mesh = spmd_mesh()
-        seq_ax, cp = seq_axis_info(mesh)
+        seq_ax, _ = seq_axis_info(mesh)
 
         if seq_ax is not None:
             from easydgl_tpu.dist.context import (ring_attention_spmd,
