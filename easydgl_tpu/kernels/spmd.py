@@ -80,7 +80,8 @@ def catalog_nll_spmd(hidden, table, bias, labels, mesh,
 
 def flash_attention_spmd(q, k, v, key_mask, mesh, *, causal: bool,
                          dropout_rate: float = 0.0, seed=0,
-                         block_q: int = 1024, block_k: int = 512):
+                         block_q: int = 1024, block_k: int = 512,
+                         interpret: bool = False):
     """Data- and head-sharded blockwise (flash) attention.
 
     q/k/v: (B, H, T, D); batch rides the data axis; whole heads ride the
@@ -103,7 +104,8 @@ def flash_attention_spmd(q, k, v, key_mask, mesh, *, causal: bool,
             shard_seed = shard_seed + (mi + 1) * jnp.int32(15485863)
         return flash_attention(q_, k_, v_, km_, causal=causal,
                                dropout_rate=dropout_rate, seed=shard_seed,
-                               block_q=block_q, block_k=block_k)
+                               block_q=block_q, block_k=block_k,
+                               interpret=interpret)
 
     d4 = P(data_ax, heads, None, None)
     return jax.shard_map(

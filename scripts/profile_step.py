@@ -20,7 +20,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
-def capture(outdir):
+def capture(outdir, longctx=False):
     from easydgl_tpu.config import preset
     from easydgl_tpu.data.loader import BatchLoader
     from easydgl_tpu.data.synthetic import (synthetic_mark_table,
@@ -28,15 +28,24 @@ def capture(outdir):
     from easydgl_tpu.models.registry import build_model
     from easydgl_tpu.train.steps import build_train_step, init_state
 
-    cfg = preset("EasyDGL").replace(num_events=64, compute_dtype="bfloat16",
-                                    use_pallas=True)
+    if longctx:  # --lc: the SASREC-LC long-context step
+        cfg = preset("SASREC-LC").replace(use_pallas=True)
+    else:
+        cfg = preset("EasyDGL").replace(num_events=64,
+                                        compute_dtype="bfloat16",
+                                        use_pallas=True)
     model = build_model(cfg)
     ds = synthetic_split(num_rows=cfg.batch_size, num_items=cfg.num_items,
                          seqslen=cfg.seqslen, seed=0)
-    table = synthetic_mark_table(cfg.num_items, cfg.num_events, seed=0)
-    loader = BatchLoader(ds, data_mode="mau", batch_size=cfg.batch_size,
-                         masklen=cfg.masklen, is_training=True,
-                         mark_table=table, needs_marks=True)
+    if longctx:
+        loader = BatchLoader(ds, data_mode="regressive",
+                             batch_size=cfg.batch_size,
+                             masklen=cfg.masklen, is_training=True)
+    else:
+        table = synthetic_mark_table(cfg.num_items, cfg.num_events, seed=0)
+        loader = BatchLoader(ds, data_mode="mau", batch_size=cfg.batch_size,
+                             masklen=cfg.masklen, is_training=True,
+                             mark_table=table, needs_marks=True)
     features, labels, _ = next(loader.epoch(0))
     feats = {k: jax.device_put(jnp.asarray(v)) for k, v in features.items()}
     labels = jax.device_put(jnp.asarray(labels))
@@ -88,7 +97,8 @@ def parse(outdir):
 
 
 if __name__ == "__main__":
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jaxprof"
+    args = [a for a in sys.argv[1:] if a != "--lc"]
+    outdir = args[0] if args else "/tmp/jaxprof"
     os.makedirs(outdir, exist_ok=True)
-    capture(outdir)
+    capture(outdir, longctx="--lc" in sys.argv)
     parse(outdir)

@@ -62,6 +62,43 @@ def test_sasrec_flash_equals_xla():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_flash_spmd_matches_unsharded(rng, eight_devices):
+    """kernels/spmd.py::flash_attention_spmd on a (data=2, model=2) mesh
+    (batch + whole-head sharding) == the unsharded kernel, values and
+    grads (interpret mode on the CPU platform)."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from easydgl_tpu.kernels.flash_attention import flash_attention
+    from easydgl_tpu.kernels.spmd import flash_attention_spmd
+
+    mesh = Mesh(np.asarray(eight_devices[:4]).reshape(2, 2),
+                ("data", "model"))
+    b, h, t, d = 4, 4, 32, 8
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(_np.float32))
+    q, k, v = mk(b, h, t, d), mk(b, h, t, d), mk(b, h, t, d)
+    km = jnp.asarray((rng.rand(b, t) > 0.3).astype(_np.float32))
+    co = mk(b, h, t, d)
+
+    # the HLO interpreter (interpret=True), NOT force_tpu_interpret_mode:
+    # the TPU-semantics interpreter deadlocks under shard_map here
+    def loss_sp(q_, k_, v_):
+        o = flash_attention_spmd(q_, k_, v_, km, mesh, causal=True,
+                                 block_q=16, block_k=128, interpret=True)
+        return jnp.sum(o * co)
+
+    def loss_ref(q_, k_, v_):
+        o = flash_attention(q_, k_, v_, km, causal=True, block_q=16,
+                            block_k=128, interpret=True)
+        return jnp.sum(o * co)
+
+    ls, gs = jax.value_and_grad(loss_sp, argnums=(0, 1, 2))(q, k, v)
+    lr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(ls), float(lr), rtol=1e-5)
+    for a, b_ in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-5, atol=5e-5)
+
+
 def test_remat_matches_no_remat(rng):
     """cfg.remat (per-block jax.checkpoint, the long-context memory lever)
     must change nothing: identical param tree, loss and grads."""
