@@ -21,6 +21,14 @@ scaling components, designed TPU-first:
   H/sp local heads in between. Cheaper in collective volume than a ring
   when heads divide evenly; the local step is the unmodified production
   attention (so any local impl — XLA or the flash kernel — slots in).
+  ``cfg.cp_impl`` selects ring vs ulysses from the models.
+
+* ``mau_ring_attention_spmd`` — the same ring treatment for the
+  SELF-MODULATING attention family (MAU/BiMAU, reference
+  temporal.py:267-452): two sweeps, because the mark-intensity lambda
+  depends on the full-row normalized probs through seq_units = probs @ T
+  (see the function docstring). This is what makes the flagship
+  EasyDGL/CTSMA models context-parallel.
 
 Both are differentiable through ``shard_map`` AD (ppermute/all_to_all
 transpose to their inverses; the running-max is stop_gradient'ed — it

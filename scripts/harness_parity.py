@@ -167,6 +167,12 @@ def model_flags(model: str, epochs: int) -> dict:
     elif model == "CTSMA":
         flags.update(num_heads=2, ct_reg=1e-7, time_scale=86400.0,
                      attention_probs_dropout_rate=0.1)
+    elif model == "SASREC":
+        flags.update(num_heads=2, attention_probs_dropout_rate=0.1)
+    elif model == "S2PNM":
+        # GRU + position coding + causal attention + dictionary combine;
+        # the CPU CudnnGRU swap (parity/refbridge.py) covers its RNN too
+        flags.update(num_heads=1, attention_probs_dropout_rate=0.1)
     return flags
 
 
