@@ -56,6 +56,14 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int)
     p.add_argument("--masklen", type=int)
     p.add_argument("--timelen", type=int)
+    p.add_argument("--filter_width", type=int,
+                   help="GREC CNN filter width (reference --filter_width)")
+    p.add_argument("--dilations", default=None,
+                   help="GREC dilation schedule, comma ints (reference "
+                        "--dilations, e.g. 1,4,1,4)")
+    p.add_argument("--window_ratio", type=float,
+                   help="TimelyREC smoothing window (reference "
+                        "--window_ratio)")
     p.add_argument("--time_scale", type=float)
     p.add_argument("--learning_rate", type=float)
     p.add_argument("--l2_reg", type=float)
@@ -86,10 +94,14 @@ def build_config(args):
               "num_epochs", "num_events", "batch_size", "masklen", "timelen",
               "time_scale", "l2_reg", "ct_reg", "hidden_dropout_rate",
               "attention_probs_dropout_rate", "mask_seen", "seed",
-              "gather_queries", "attention_impl", "remat", "cp_impl"):
+              "gather_queries", "attention_impl", "remat", "cp_impl",
+              "filter_width", "window_ratio"):
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v
+    if args.dilations is not None:
+        overrides["dilations"] = tuple(
+            int(d) for d in str(args.dilations).split(","))
     cfg = preset(args.model, **overrides)
     if args.learning_rate is not None:
         import dataclasses

@@ -30,15 +30,27 @@ class MATEncoder(nn.Module):
         return out[:, :, 0, :]                # (B, S, H)
 
 
+def _l2_normalize(x, eps: float = 1e-12):
+    """tf.nn.l2_normalize semantics: x * rsqrt(max(sum(x^2), eps)).
+
+    GRADIENT-SAFE at exactly-zero rows, which the previous
+    ``x / maximum(norm(x), eps)`` form was NOT: jnp.linalg.norm's backward
+    is x/norm = 0/0 = NaN at a zero row, and maximum() cannot block it
+    (0 * NaN = NaN). A zero period_outs row arises in real TimelyREC
+    training (harness-parity seed 7 NaN'd at step 1 through exactly this
+    path); the reference never hits it because l2_normalize thresholds
+    the SUM OF SQUARES before the rsqrt."""
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps))
+
+
 class TAHEncoder(nn.Module):
     @nn.compact
     def __call__(self, queries, keys, histories):
         """queries/keys: (B, S, H) (identical in practice);
         histories: (B, S, H)."""
-        qn = queries / jnp.maximum(
-            jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
-        kn = keys / jnp.maximum(
-            jnp.linalg.norm(keys, axis=-1, keepdims=True), 1e-12)
+        qn = _l2_normalize(queries)
+        kn = _l2_normalize(keys)
         cos = mxu_einsum("bqh,bkh->bqk", qn, kn)
         w = (1.0 + cos) / 2.0
         s = w.shape[-1]

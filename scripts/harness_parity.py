@@ -173,6 +173,20 @@ def model_flags(model: str, epochs: int) -> dict:
         # GRU + position coding + causal attention + dictionary combine;
         # the CPU CudnnGRU swap (parity/refbridge.py) covers its RNN too
         flags.update(num_heads=1, attention_probs_dropout_rate=0.1)
+    elif model == "GREC":
+        # masked dilated-CNN encoder-decoder; pass the schedule explicitly
+        # (our GREC preset carries runme.sh's 1,4,1,4 while the reference
+        # CLI default is 1,2,2,4 — both sides must see the same value)
+        flags.update(masklen=3, dilations="1,2,2,4", filter_width=3)
+    elif model == "TGAT":
+        flags.update(num_heads=1, time_scale=86400.0,
+                     attention_probs_dropout_rate=0.1)
+    elif model == "TGREC":
+        flags.update(num_heads=1, time_scale=86400.0,
+                     attention_probs_dropout_rate=0.1)
+    elif model == "TimelyREC":
+        flags.update(num_heads=2, time_scale=86400.0, window_ratio=0.2,
+                     attention_probs_dropout_rate=0.1)
     return flags
 
 
@@ -239,6 +253,11 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=0.03,
                    help="slack added around our seed band (metric units)")
     p.add_argument("--keep", help="persist intermediate files here")
+    p.add_argument("--data_seed", type=int, default=20260818,
+                   help="dataset draw: vary for an independent sample of "
+                        "BOTH sides (the reference CLI's model seed is "
+                        "hardcoded at src/main.py:157, so re-drawing the "
+                        "data is the only way to resample its run)")
     args = p.parse_args(argv)
 
     tmp = args.keep or tempfile.mkdtemp(prefix="harness_parity_")
@@ -247,7 +266,7 @@ def main(argv=None):
     npz_dir = os.path.join(tmp, "npz")
     print(f"workdir: {tmp}", flush=True)
 
-    gen_csvs(csv_dir)
+    gen_csvs(csv_dir, seed=args.data_seed)
     ref_etl(csv_dir, tfrec_dir)
     our_etl(csv_dir, npz_dir)
 

@@ -206,3 +206,26 @@ def test_feedforward_residual(rng):
     inner = np.maximum(xs @ p["inner"]["kernel"] + p["inner"]["bias"], 0.0)
     ref = inner @ p["readout"]["kernel"] + p["readout"]["bias"] + xs
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_tah_encoder_grad_safe_at_zero_rows(rng):
+    """tf.nn.l2_normalize parity: a row of EXACTLY zero queries/keys must
+    carry finite gradients (jnp.linalg.norm's backward is 0/0 = NaN there;
+    real TimelyREC training hit it — see nn/mate.py::_l2_normalize)."""
+    import jax
+    import jax.numpy as jnp
+    from easydgl_tpu.nn.mate import TAHEncoder
+
+    b, s, h = 2, 4, 8
+    q = jnp.asarray(rng.randn(b, s, h).astype(np.float32))
+    q = q.at[0, 1].set(0.0)  # an exactly-zero row
+    hist = jnp.asarray(rng.randn(b, s, h).astype(np.float32))
+    enc = TAHEncoder()
+    params = enc.init(jax.random.key(0), q, q, hist)
+
+    def loss(q_):
+        return jnp.sum(enc.apply(params, q_, q_, hist) ** 2)
+
+    val, grad = jax.value_and_grad(loss)(q)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
