@@ -296,6 +296,18 @@ def main(argv=None):
             ours.append(s)
             print(f"[{model}] ours seed={seed}: "
                   f"{ {k: round(v, 5) for k, v in s.items()} }", flush=True)
+        # an empty summary == the faithful NaN-loss abort (util.py:29-30
+        # semantics). Count it as a FAILURE row rather than crashing the
+        # whole comparison — this is exactly how the TimelyREC seed-7 NaN
+        # was caught.
+        aborted = [seed for seed, s in zip(seeds, ours) if not s]
+        if aborted:
+            failures.append((model, "NAN_ABORT", float("nan"), aborted))
+            print(f"[{model}] seeds {aborted} aborted (NaN loss)",
+                  flush=True)
+            ours = [s for s in ours if s]
+            if not ours:
+                continue
         for k in METRICS:
             vals = [s[k] for s in ours]
             lo, hi = min(vals) - args.tol, max(vals) + args.tol
