@@ -99,6 +99,28 @@ def test_flash_spmd_matches_unsharded(rng, eight_devices):
                                    rtol=5e-5, atol=5e-5)
 
 
+def test_grec_long_context_forward():
+    """The conv family is long-context out of the box: GREC's dilated
+    convs are O(L*C) with no (L, L) tensor anywhere — a L=512 forward
+    (17x the reference's ceiling) runs and stays finite."""
+    cfg = preset("GREC").replace(num_items=100, seqslen=512, num_units=16,
+                                 masklen=8, batch_size=4,
+                                 hidden_dropout_rate=0.0)
+    model = build_model(cfg)
+    ds = synthetic_split(num_rows=8, num_items=100, seqslen=512, seed=0)
+    ld = BatchLoader(ds, data_mode=model.data_mode, batch_size=4,
+                     masklen=8, is_training=True)
+    features, _, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(v) for k, v in features.items()}
+    params = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)},
+                        feats, is_training=True)
+    logits, _ = model.apply(params, feats, is_training=True,
+                            rngs={"dropout": jax.random.key(2)})
+    assert logits.shape == (4 * 8, model.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_remat_matches_no_remat(rng):
     """cfg.remat (per-block jax.checkpoint, the long-context memory lever)
     must change nothing: identical param tree, loss and grads."""
