@@ -38,9 +38,11 @@ def parse_args(argv=None):
                         "a third mesh axis; attention runs as a ring "
                         "(dist/context.py) — for long-context configs")
     p.add_argument("--attention_impl", default=None,
-                   choices=["xla", "flash"],
-                   help="MHA core (SASREC family): 'flash' = blockwise "
-                        "Pallas kernel, O(T) memory for long sequences")
+                   choices=["xla", "flash", "factored"],
+                   help="attention core: 'flash' = blockwise Pallas kernel "
+                        "(SASREC family, O(T) memory); 'factored' = "
+                        "TiSASREC's interval terms via bucket projections "
+                        "+ segment-sum (no (T,T,C) tensors)")
     p.add_argument("--cp_impl", default=None, choices=["ring", "ulysses"],
                    help="context-parallel attention algorithm under --cp")
     p.add_argument("--remat", action="store_true", default=None,

@@ -48,7 +48,17 @@ class TiSASREC(SequentialModel):
         tcoding_v = TimeIntervalCoding(cfg.timelen, cfg.num_units,
                                        name="tcoding_v")
         k_pos, v_pos = pcoding_k.code(x), pcoding_v.code(x)
-        k_int, v_int = tcoding_k.code(spans), tcoding_v.code(spans)
+        if cfg.attention_impl == "factored":
+            # long-context mode: no (B, Tq, Tk, C) interval tensors — the
+            # attention consumes raw buckets + the extended tables (see
+            # nn/temporal.py::TiMultiHeadAttention docstring)
+            k_int = v_int = None
+            factored = dict(interval_buckets=spans,
+                            interval_tables=(tcoding_k.table_extended(),
+                                             tcoding_v.table_extended()))
+        else:
+            k_int, v_int = tcoding_k.code(spans), tcoding_v.code(spans)
+            factored = {}
 
         x = nn.Dropout(cfg.hidden_dropout_rate, deterministic=det)(x)
         mask = (ids != 0).astype(x.dtype)[:, :, None]
@@ -62,7 +72,7 @@ class TiSASREC(SequentialModel):
                               cfg.hidden_dropout_rate, name=f"block{i}_ffn")
             x = attn(ContribLayerNorm(name=f"block{i}_ln0")(x), x,
                      k_pos, v_pos, k_int, v_int,
-                     deterministic=det, causality=True)
+                     deterministic=det, causality=True, **factored)
             x = ffn(ContribLayerNorm(name=f"block{i}_ln1")(x),
                     deterministic=det)
             x = x * mask

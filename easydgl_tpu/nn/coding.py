@@ -110,6 +110,16 @@ class TimeIntervalCoding(nn.Module):
         out = self.pembs(inputs)
         return out * ok[..., None].astype(out.dtype)
 
+    def table_extended(self) -> jnp.ndarray:
+        """(vocab_size + 1, C) table whose LAST row is zero — the factored
+        interval-attention path (nn/temporal.py) indexes it with raw
+        clipped buckets in [0, vocab_size], so the out-of-range edge
+        bucket hits the zero row: exactly ``code``'s GPU-gather
+        zero-vector semantics, without materializing any (Tq, Tk, C)
+        tensor."""
+        t = self.pembs.table()
+        return jnp.concatenate([t, jnp.zeros((1, t.shape[1]), t.dtype)])
+
 
 class TimeFunctionCoding(nn.Module):
     """Learnable Bochner time features cos(t*w + phi) (coding.py:97-122)."""

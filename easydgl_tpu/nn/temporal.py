@@ -25,6 +25,7 @@ avoids per-block recompute).
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -63,29 +64,57 @@ def _split_heads_4d(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 
 
 class TiMultiHeadAttention(nn.Module):
-    """Time-interval-aware attention (reference temporal.py:15-105)."""
+    """Time-interval-aware attention (reference temporal.py:15-105).
+
+    Two exact implementations of the interval terms:
+
+    * DENSE (default, the reference layout): the model materializes the
+      gathered (B, Tq, Tk, C) interval codes — O(L^2 * C) memory, fine at
+      the published L=30.
+    * FACTORED (long-context; pass ``interval_buckets`` (B, Tq, Tk) int32
+      and ``interval_tables`` = the EXTENDED (S+1, C) k/v tables from
+      TimeIntervalCoding.table_extended): by linearity of the gather,
+      ``q . T[bucket]`` equals a gather from the per-query bucket
+      projections ``q @ T^T`` (a (B, H, Tq, S+1) tensor), and
+      ``sum_k probs * T_v[bucket]`` equals a bucket segment-sum of probs
+      followed by ONE (S+1, dh) matmul. No (Tq, Tk, C) tensor exists —
+      the x C factor drops out of the memory bill, which is what makes
+      TiSASREC runnable at L in the thousands. Bit-equal to the dense
+      path up to float reassociation (tests/test_long_context.py).
+    """
     num_units: int
     num_heads: int
     dropout_rate: float = 0.0
 
     @nn.compact
     def __call__(self, queries, keys, k_pos, v_pos, k_int, v_int, *,
-                 deterministic: bool, causality: bool):
+                 deterministic: bool, causality: bool,
+                 interval_buckets=None, interval_tables=None):
         """k_pos/v_pos: (B, T, C) position codes; k_int/v_int: (B, Tq, Tk, C)
-        interval codes (shared tables, computed once by the model)."""
+        interval codes (dense path; pass None with the factored args)."""
         h = self.num_heads
         q = split_heads(Dense(self.num_units, name="q")(queries), h)
         k = split_heads(Dense(self.num_units, name="k")(keys), h)
         v = split_heads(Dense(self.num_units, name="v")(keys), h)
         kp = split_heads(k_pos, h)
         vp = split_heads(v_pos, h)
-        ki = _split_heads_4d(k_int, h)
-        vi = _split_heads_4d(v_int, h)
         d = q.shape[-1]
+        factored = interval_buckets is not None
 
         logits = (mxu_einsum("bhqd,bhkd->bhqk", q, k)
-                  + mxu_einsum("bhqd,bhkd->bhqk", q, kp)
-                  + mxu_einsum("bhqkd,bhqd->bhqk", ki, q))
+                  + mxu_einsum("bhqd,bhkd->bhqk", q, kp))
+        if factored:
+            tab_k, tab_v = interval_tables
+            s_ext = tab_k.shape[0]
+            tabs_k = tab_k.reshape(s_ext, h, d)
+            # per-query bucket projections, then a (Tq, Tk) gather
+            q_tab = mxu_einsum("bhqd,shd->bhqs", q, tabs_k)
+            idx = jnp.broadcast_to(interval_buckets[:, None],
+                                   q_tab.shape[:3] + interval_buckets.shape[-1:])
+            logits = logits + jnp.take_along_axis(q_tab, idx, axis=-1)
+        else:
+            ki = _split_heads_4d(k_int, h)
+            logits = logits + mxu_einsum("bhqkd,bhqd->bhqk", ki, q)
         logits = logits / (d ** 0.5)
         key_mask = jnp.sign(jnp.sum(jnp.abs(keys), axis=-1))  # temporal.py:65
         logits = _mask_logits(logits, key_mask, causality)
@@ -97,8 +126,18 @@ class TiMultiHeadAttention(nn.Module):
         probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
 
         out = (mxu_einsum("bhqk,bhkd->bhqd", probs, v)
-               + mxu_einsum("bhqk,bhkd->bhqd", probs, vp)
-               + mxu_einsum("bhqk,bhqkd->bhqd", probs, vi))
+               + mxu_einsum("bhqk,bhkd->bhqd", probs, vp))
+        if factored:
+            tabs_v = interval_tables[1].reshape(s_ext, h, d)
+            seg = functools.partial(jax.ops.segment_sum,
+                                    num_segments=s_ext)
+            probsum = jax.vmap(jax.vmap(jax.vmap(seg)))(
+                probs, jnp.broadcast_to(interval_buckets[:, None],
+                                        probs.shape))
+            out = out + mxu_einsum("bhqs,shd->bhqd", probsum, tabs_v)
+        else:
+            vi = _split_heads_4d(v_int, h)
+            out = out + mxu_einsum("bhqk,bhqkd->bhqd", probs, vi)
         return merge_heads(out) + queries
 
 

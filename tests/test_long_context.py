@@ -99,6 +99,77 @@ def test_flash_spmd_matches_unsharded(rng, eight_devices):
                                    rtol=5e-5, atol=5e-5)
 
 
+def test_tisasrec_factored_equals_dense(rng):
+    """The factored interval attention (bucket projections + segment-sum,
+    no (Tq, Tk, C) tensor) must equal the dense reference layout: logits
+    in both modes and the loss gradients."""
+    from easydgl_tpu.train.steps import compute_loss, init_state
+
+    cfg = preset("TiSASREC").replace(
+        num_items=V, seqslen=L, num_units=16, num_heads=2, num_blocks=2,
+        timelen=20, batch_size=B, hidden_dropout_rate=0.0,
+        attention_probs_dropout_rate=0.0)
+    m_d = build_model(cfg)
+    m_f = build_model(cfg.replace(attention_impl="factored"))
+    ds = synthetic_split(num_rows=2 * B, num_items=V, seqslen=L, seed=9)
+    ld = BatchLoader(ds, data_mode="regressive", batch_size=B,
+                     masklen=cfg.masklen, is_training=True)
+    features, labels, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(v) for k, v in features.items()}
+    labels = jnp.asarray(labels)
+
+    state = init_state(m_d, feats, seed=0)
+    # identical param trees (the factored path touches the same tables)
+    state_f = init_state(m_f, feats, seed=0)
+    assert (jax.tree_util.tree_structure(state.params)
+            == jax.tree_util.tree_structure(state_f.params))
+
+    ld_ev = BatchLoader(ds, data_mode="regressive", batch_size=B,
+                        masklen=cfg.masklen, is_training=False)
+    ef, _, _ = next(ld_ev.epoch(0))
+    efeats = {k: jnp.asarray(v) for k, v in ef.items()}
+    for m_feats, training in ((feats, True), (efeats, False)):
+        ldx, _ = m_d.apply(state.params, m_feats, is_training=training,
+                           rngs={"dropout": jax.random.key(2)})
+        lfx, _ = m_f.apply(state.params, m_feats, is_training=training,
+                           rngs={"dropout": jax.random.key(2)})
+        np.testing.assert_allclose(np.asarray(lfx), np.asarray(ldx),
+                                   rtol=2e-5, atol=2e-5)
+
+    gd = jax.grad(lambda p: compute_loss(
+        m_d, p, feats, labels, {"dropout": jax.random.key(1)}))(state.params)
+    gf = jax.grad(lambda p: compute_loss(
+        m_f, p, feats, labels, {"dropout": jax.random.key(1)}))(state.params)
+    for (pa, a), (_, b_) in zip(jax.tree_util.tree_leaves_with_path(gd),
+                                jax.tree_util.tree_leaves_with_path(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-5, atol=5e-5, err_msg=str(pa))
+
+
+def test_tisasrec_factored_long_forward():
+    """TiSASREC at L=512 (17x the reference ceiling) via the factored
+    path: the dense layout would materialize 2 x (B, 512, 512, C)
+    interval tensors; the factored one touches nothing bigger than
+    (B, H, 512, timelen+2)."""
+    cfg = preset("TiSASREC").replace(
+        num_items=100, seqslen=512, num_units=16, num_heads=2,
+        num_blocks=1, timelen=512, batch_size=2,
+        hidden_dropout_rate=0.0, attention_probs_dropout_rate=0.0,
+        attention_impl="factored")
+    model = build_model(cfg)
+    ds = synthetic_split(num_rows=4, num_items=100, seqslen=512, seed=1)
+    ld = BatchLoader(ds, data_mode="regressive", batch_size=2,
+                     masklen=cfg.masklen, is_training=True)
+    features, _, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(v) for k, v in features.items()}
+    params = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)},
+                        feats, is_training=True)
+    logits, _ = model.apply(params, feats, is_training=True,
+                            rngs={"dropout": jax.random.key(2)})
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_grec_long_context_forward():
     """The conv family is long-context out of the box: GREC's dilated
     convs are O(L*C) with no (L, L) tensor anywhere — a L=512 forward
