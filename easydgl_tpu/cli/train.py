@@ -148,9 +148,17 @@ def main(argv=None):
         import jax
         if args.platform:
             jax.config.update("jax_platforms", args.platform)
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # The cache config is PROCESS-GLOBAL and outlives this call — the
+        # test suite must stay cache-free (numerics would depend on the
+        # mutable ~/.jax_cache contents: CPU executables compiled with
+        # machine features the host lacks load with "may miscompute"
+        # warnings and perturb trained-metric fixtures), so conftest sets
+        # EASYDGL_NO_COMPILE_CACHE before any test invokes this main().
+        if not os.environ.get("EASYDGL_NO_COMPILE_CACHE"):
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.jax_cache"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
     if args.num_processes and args.num_processes > 1:

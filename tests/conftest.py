@@ -5,6 +5,13 @@ import os
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=8")
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep the suite free of the persistent compilation cache: the CLI mains
+# (exercised by test_cli) would otherwise enable it PROCESS-GLOBALLY, and
+# every later trained-metric fixture would depend on the mutable
+# ~/.jax_cache contents (cached CPU executables built with machine
+# features this host lacks load with "may miscompute" warnings — the
+# round-4 golden flake). See cli/train.py.
+os.environ["EASYDGL_NO_COMPILE_CACHE"] = "1"
 
 import jax  # noqa: E402
 

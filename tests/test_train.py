@@ -401,9 +401,15 @@ def test_adamw_warmup_optimizer():
 
 
 @pytest.mark.parametrize("name,kw,golden", [
+    # regenerated 2026-08-19 (round 4): the suite now PINS the persistent
+    # compilation cache OFF (conftest EASYDGL_NO_COMPILE_CACHE) — the CLI
+    # tests used to enable it process-globally, making these trained
+    # metrics depend on the mutable ~/.jax_cache contents (cached CPU
+    # executables with machine features this host lacks). Cache-free
+    # values are stable in isolation AND in-suite.
     ("EasyDGL", dict(ct_reg=1e-3, time_scale=1000.0),
      {"H10": 0.40625, "H100": 1.0, "H50": 1.0,
-      "N10": 0.207951, "N100": 0.34191, "N50": 0.34191}),
+      "N10": 0.207052, "N100": 0.341178, "N50": 0.341178}),
     ("CTSMA", dict(ct_reg=1e-3, time_scale=1000.0),
      {"H10": 0.21875, "H100": 1.0, "H50": 1.0,
       "N10": 0.084841, "N100": 0.258039, "N50": 0.258039}),
@@ -435,12 +441,14 @@ def test_golden_metrics_temporal_models(name, kw, golden):
 @pytest.mark.parametrize("name,kw,golden", [
     ("SASREC", dict(),
      {"H10": 0.21875, "N10": 0.10128, "N100": 0.273074}),
+    # BERT4REC/GREC regenerated 2026-08-19 cache-free (see the temporal
+    # fixtures' note)
     ("BERT4REC", dict(),
-     {"H10": 0.375, "N10": 0.137535, "N100": 0.295839}),
+     {"H10": 0.375, "N10": 0.158643, "N100": 0.296554}),
     ("S2PNM", dict(),
      {"H10": 0.09375, "N10": 0.058964, "N100": 0.256834}),
     ("GREC", dict(),
-     {"H10": 0.3125, "N10": 0.162528, "N100": 0.311079}),
+     {"H10": 0.34375, "N10": 0.183699, "N100": 0.323105}),
     ("TGAT", dict(time_scale=1000.0),
      {"H10": 0.21875, "N10": 0.099764, "N100": 0.268345}),
     ("TGREC", dict(time_scale=1000.0),
