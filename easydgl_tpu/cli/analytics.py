@@ -26,7 +26,13 @@ def main(argv=None):
     p.add_argument("--num_heads", type=int)
     p.add_argument("--num_blocks", type=int)
     p.add_argument("--num_events", type=int)
+    p.add_argument("--seqslen", type=int)
     p.add_argument("--batch_size", type=int)
+    p.add_argument("--attention_impl",
+                   choices=["xla", "flash", "factored"],
+                   help="must match training when it changes param shapes "
+                        "(it doesn't — all impls share one param tree); "
+                        "pick the memory-appropriate one for the restore")
     p.add_argument("--mask_seen", action="store_true", default=None)
     args = p.parse_args(argv)
 
@@ -40,7 +46,8 @@ def main(argv=None):
 
     overrides = {k: getattr(args, k) for k in
                  ("num_items", "num_units", "num_heads", "num_blocks",
-                  "num_events", "batch_size", "mask_seen")
+                  "num_events", "seqslen", "batch_size", "mask_seen",
+                  "attention_impl")
                  if getattr(args, k) is not None}
     cfg = preset(args.model, **overrides)
     mark = np.load(args.mark) if args.mark else None

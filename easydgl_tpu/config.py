@@ -22,14 +22,20 @@ class MeshConfig:
     data_axis: str = "data"
     model_axis: str = "model"
     seq_axis: str = "seq"
-    # -1 means "use all devices on that axis"; (dp, mp, cp) product must
-    # divide the device count.
+    pipe_axis: str = "pipe"
+    # -1 means "use all devices on that axis"; (dp, mp, cp, pp) product
+    # must divide the device count.
     dp: int = -1
     mp: int = 1
-    # context-parallel degree: shards the SEQUENCE over a third mesh axis;
+    # context-parallel degree: shards the SEQUENCE over a "seq" mesh axis;
     # attention runs as a ring (dist/context.py). Only useful for
     # long-context configs — the reference's L=30 needs none.
     cp: int = 1
+    # pipeline-parallel degree: shards the BLOCK stack over a "pipe" mesh
+    # axis (GPipe fill-drain, dist/pipeline.py; production wiring in
+    # train/pp.py — models with num_blocks % pp == 0 stack per-block
+    # params on a stage axis).
+    pp: int = 1
 
 
 @dataclass(frozen=True)
@@ -111,13 +117,21 @@ class Config:
     # NOT reference-exact (per-example LayerNorm moments see only those
     # rows — models/easydgl.py docstring). Off for parity/benchmarks.
     gather_queries: bool = False
-    # attention implementation for the time-independent MHA family
-    # (SASREC & co): "xla" materializes the (T, T) probs (reference
-    # semantics, right for L=30); "flash" streams key blocks through the
-    # blockwise Pallas kernel (kernels/flash_attention.py) — O(T) memory,
-    # the long-context mode. Under a cp>1 mesh the ring path takes over
-    # regardless of this flag.
+    # attention implementation: "xla" materializes the (T, T) probs
+    # (reference semantics, right for L=30); "flash" is the LONG-CONTEXT
+    # mode — the MHA family (SASREC & co) streams key blocks through the
+    # blockwise Pallas kernel (kernels/flash_attention.py) and the
+    # self-modulating family (CTSMA/EasyDGL) takes the blocked two-sweep
+    # MAU schedule (kernels/mau_blocked.py), both O(T) memory; "factored"
+    # rewrites per-pair coding tensors into per-position factors for the
+    # temporal-bias family (TiSASREC interval tables; TGAT/TGREC Bochner
+    # features via the cosine angle-addition identity) — exact, O(L*C)
+    # instead of O(L^2*C) memory. Under a cp>1 mesh the ring path takes
+    # over regardless of this flag.
     attention_impl: str = "xla"
+    # key-block length of the blocked MAU schedule (the analogue of the
+    # flash kernel's block_k; tuned on-chip, scripts/longctx_bench.py)
+    mau_block_k: int = 512
     # context-parallel attention algorithm under a cp>1 mesh:
     # "ring" rotates K/V chunks via ppermute (no head-count constraint);
     # "ulysses" re-shards sequence<->heads with two all_to_alls (needs
@@ -230,6 +244,31 @@ PRESETS = {
                     batch_size=32, seqslen=2048, num_blocks=2, num_heads=8,
                     mask_seen=True, attention_impl="flash",
                     compute_dtype="bfloat16"),
+    # Long-context EasyDGL — the FLAGSHIP at 64x the reference's L=30
+    # ceiling on ONE chip: blocked two-sweep BiMAU (kernels/mau_blocked.py,
+    # O(T * mau_block_k) memory) + the masked objective, whose catalog
+    # scoring touches only masklen rows per example (vs every position for
+    # the AR protocol — the SASREC-LC step budget's 31%-of-step lever,
+    # BASELINE.md). seqslen=2047 -> model length 2048 (EasyDGL consumes
+    # L+1). B sized to the axon relay's ~4 GB HBM grant.
+    "EasyDGL-LC": _p("EasyDGL", num_units=512, hidden_dropout_rate=0.1,
+                     attention_probs_dropout_rate=0.1, learning_rate=5e-4,
+                     batch_size=8, seqslen=2047, masklen=256, num_blocks=1,
+                     num_heads=8, l2_reg=1e-4, ct_reg=1e-7, mask_seen=True,
+                     time_scale=86400.0, attention_impl="flash",
+                     compute_dtype="bfloat16"),
+    # Long-context BERT4REC — the masked-objective counterpart of
+    # SASREC-LC: same flash attention core, but the catalog-scoring matmul
+    # shrinks by L/masklen = 8x because only masked rows are scored
+    # (reference dataloader.py:39-85 masking + BERT4REC.py:120-121 gather
+    # head). Demonstrates the "scoring shrinks with fewer supervised
+    # positions" lever the SASREC-LC budget documents.
+    "BERT4REC-LC": _p("BERT4REC", num_units=512, hidden_dropout_rate=0.1,
+                      attention_probs_dropout_rate=0.1, learning_rate=5e-5,
+                      batch_size=32, seqslen=2047, masklen=256,
+                      num_blocks=2, num_heads=8, l2_reg=1e-4,
+                      mask_seen=True, attention_impl="flash",
+                      compute_dtype="bfloat16"),
 }
 
 

@@ -16,19 +16,23 @@ from easydgl_tpu.config import MeshConfig
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
-    """Build a (data, model[, seq]) mesh over all (or given) devices.
+    """Build a (data, model[, seq][, pipe]) mesh over all (or given)
+    devices.
 
-    dp/mp of -1 are resolved so dp*mp*cp == len(devices), preferring to grow
-    the data axis (dense towers are replicated; table shards ride the model
-    axis). cp > 1 appends a third SEQUENCE axis (context parallelism —
-    ring attention, dist/context.py); 2-axis consumers keep working since
-    data/model stay axis_names[0]/[1].
+    dp/mp of -1 are resolved so dp*mp*cp*pp == len(devices), preferring to
+    grow the data axis (dense towers are replicated; table shards ride the
+    model axis). cp > 1 appends a SEQUENCE axis (context parallelism —
+    ring attention, dist/context.py); pp > 1 appends a PIPE axis (GPipe
+    stages, dist/pipeline.py + train/pp.py). 2-axis consumers keep working
+    since data/model stay axis_names[0]/[1]; the optional axes are found
+    by NAME (seq_axis_info / pipe_axis_info), never by position.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    dp, mp, cp = cfg.dp, cfg.mp, cfg.cp
-    assert cp >= 1 and n % cp == 0, f"{n} devices not divisible by cp={cp}"
-    nn = n // cp
+    dp, mp, cp, pp = cfg.dp, cfg.mp, cfg.cp, cfg.pp
+    assert cp >= 1 and pp >= 1 and n % (cp * pp) == 0, \
+        f"{n} devices not divisible by cp*pp={cp * pp}"
+    nn = n // (cp * pp)
     if mp == -1 and dp == -1:
         dp, mp = nn, 1
     elif dp == -1:
@@ -37,23 +41,36 @@ def make_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
     elif mp == -1:
         assert nn % dp == 0, f"{nn} devices not divisible by dp={dp}"
         mp = nn // dp
-    assert dp * mp * cp == n, f"dp*mp*cp={dp*mp*cp} != {n} devices"
+    assert dp * mp * cp * pp == n, \
+        f"dp*mp*cp*pp={dp * mp * cp * pp} != {n} devices"
+    shape, names = [dp, mp], [cfg.data_axis, cfg.model_axis]
     if cp > 1:
-        arr = np.asarray(devices).reshape(dp, mp, cp)
-        return Mesh(arr, (cfg.data_axis, cfg.model_axis, cfg.seq_axis))
-    arr = np.asarray(devices).reshape(dp, mp)
-    return Mesh(arr, (cfg.data_axis, cfg.model_axis))
+        shape.append(cp)
+        names.append(cfg.seq_axis)
+    if pp > 1:
+        shape.append(pp)
+        names.append(cfg.pipe_axis)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(names))
 
 
-def seq_axis_info(mesh):
-    """(axis_name, size) of the mesh's context-parallel (sequence) axis,
-    or (None, 1) when the mesh is None / 2-axis / cp == 1."""
-    if mesh is not None and len(mesh.axis_names) >= 3:
-        name = mesh.axis_names[2]
+def _axis_info(mesh, name):
+    if mesh is not None and name in mesh.axis_names:
         size = mesh.shape[name]
         if size > 1:
             return name, size
     return None, 1
+
+
+def seq_axis_info(mesh, name: str = "seq"):
+    """(axis_name, size) of the mesh's context-parallel (sequence) axis,
+    or (None, 1) when the mesh is None / has no seq axis / cp == 1."""
+    return _axis_info(mesh, name)
+
+
+def pipe_axis_info(mesh, name: str = "pipe"):
+    """(axis_name, size) of the mesh's pipeline axis, or (None, 1)."""
+    return _axis_info(mesh, name)
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -188,7 +188,11 @@ def _mau_ring_local(q, k, v, t, km, iv, oh, wd, bd, w, scaling, seed, *,
             kf, tf, kmf = (jax.lax.ppermute(x, seq_axis, fwd_perm)
                            for x in (kf, tf, kmf))
     seq_units = su / l
-    lse = m + jnp.log(l)
+    # NOTE: sweep 2 recomputes probs as exp(s - m) / l, NOT exp(s - lse):
+    # on fully-masked (dead) rows every logit is the -2^32+1 constant,
+    # whose f32 ulp (512) swallows log(T) — exp(s - (m + log l)) would be
+    # exp(+-ulp) garbage there, while exp(s - m) is exactly exp(0) -> the
+    # dense path's uniform fallback (same fix as kernels/mau_blocked.py).
 
     # ---- intensity head (q-shard local; reference temporal.py:281-315) --
     x = jnp.concatenate(
@@ -212,7 +216,7 @@ def _mau_ring_local(q, k, v, t, km, iv, oh, wd, bd, w, scaling, seed, *,
         kpos = src * tl + jnp.arange(tl)
         s = _chunk_logits(qf, kf, kmf, qpos, kpos, scale=scale,
                           causal=causal)
-        p = jnp.exp(s - lse)                        # normalized probs
+        p = jnp.exp(s - m) / l                      # normalized probs
         iqk = jnp.einsum("bhqe,bke->bhqk", lam, ohf,
                          preferred_element_type=jnp.float32)
         if diag_reset:  # BiMAU: intensity diagonal := 1 (temporal.py:438)

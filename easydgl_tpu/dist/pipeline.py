@@ -65,13 +65,27 @@ def pipeline_apply(stage_fn: Callable[[Any, Any], Any], stage_params,
     mesh.shape[pipe_axis] (see ``stack_stage_params``).
     x: microbatched input, leaves (M, mb, ...) — see ``microbatch``.
     extra: optional per-microbatch side input consumed by EVERY stage
-    (e.g. the padding mask), leaves (M, mb, ...).
-    Returns the final stage's outputs, (M, mb, ...), replicated.
+    (e.g. the padding mask), leaves (M, mb, ...). ``extra`` stays
+    replicated — every stage reads a skew-dependent slice of it each
+    tick; keep it to O(C)-smaller side inputs like masks.
+    Returns the final stage's outputs, (M, mb, ...).
+
+    MEMORY: when M % S == 0 the microbatch axis of ``x`` AND of the
+    output is SHARDED over the pipe axis — no device ever stores the full
+    batch (each holds M/S input + M/S output microbatches, plus the one
+    in-flight activation). The feed/collect hops ride per-tick psums over
+    the pipe axis whose payload is exactly one microbatch activation —
+    the same order as the stage-to-stage ppermute itself. When M % S != 0
+    the inputs/outputs fall back to replicated (correct, memory-naive;
+    pick M as a multiple of S to avoid it).
     """
     s = mesh.shape[pipe_axis]
     m = jax.tree.leaves(x)[0].shape[0]
+    shard_io = m % s == 0
+    m_loc = m // s if shard_io else m
     p_specs = jax.tree.map(
         lambda l: P(pipe_axis, *([None] * (l.ndim - 1))), stage_params)
+    io_spec = P(pipe_axis) if shard_io else P()
 
     def local(params, xs, ex):
         params = jax.tree.map(lambda l: l[0], params)  # this stage's slice
@@ -82,8 +96,17 @@ def pipeline_apply(stage_fn: Callable[[Any, Any], Any], stage_params,
         outs = jax.tree.map(lambda l: jnp.zeros_like(l), xs)
         for t in range(m + s - 1):
             mb = min(t, m - 1)
+            if shard_io:
+                # stage 0's feed: the owner shard contributes its slice,
+                # the pipe-psum (one microbatch payload) delivers it
+                feed = jax.tree.map(
+                    lambda xl: jax.lax.psum(
+                        jnp.where(i == mb // m_loc, xl[mb % m_loc],
+                                  jnp.zeros_like(xl[0])), pipe_axis), xs)
+            else:
+                feed = jax.tree.map(lambda xl: xl[mb], xs)
             inp = jax.tree.map(
-                lambda xl, sl: jnp.where(i == 0, xl[mb], sl), xs, state)
+                lambda fl, sl: jnp.where(i == 0, fl, sl), feed, state)
             if ex is None:
                 args = (inp,)
             else:
@@ -96,22 +119,35 @@ def pipeline_apply(stage_fn: Callable[[Any, Any], Any], stage_params,
             y = stage_fn(params, *args)
             ot = t - (s - 1)
             if 0 <= ot < m:
-                write = (i == s - 1)
-                outs = jax.tree.map(
-                    lambda ol, yl: ol.at[ot].set(
-                        jnp.where(write, yl, ol[ot])), outs, y)
+                if shard_io:
+                    # collect: the last stage contributes, the owner shard
+                    # stores (everyone else keeps its buffer untouched)
+                    got = jax.tree.map(
+                        lambda yl: jax.lax.psum(
+                            jnp.where(i == s - 1, yl, jnp.zeros_like(yl)),
+                            pipe_axis), y)
+                    outs = jax.tree.map(
+                        lambda ol, gl: ol.at[ot % m_loc].set(
+                            jnp.where(i == ot // m_loc, gl,
+                                      ol[ot % m_loc])), outs, got)
+                else:
+                    write = (i == s - 1)
+                    outs = jax.tree.map(
+                        lambda ol, yl: ol.at[ot].set(
+                            jnp.where(write, yl, ol[ot])), outs, y)
             if s > 1:
                 state = jax.tree.map(
                     lambda yl: jax.lax.ppermute(yl, pipe_axis, fwd), y)
-        # only the last stage holds real outputs; zero elsewhere + psum
-        # replicates them (and keeps out_specs simple)
-        outs = jax.tree.map(
-            lambda ol: jax.lax.psum(
-                jnp.where(jax.lax.axis_index(pipe_axis) == s - 1, ol,
-                          jnp.zeros_like(ol)), pipe_axis), outs)
+        if not shard_io:
+            # only the last stage holds real outputs; zero elsewhere +
+            # psum replicates them (and keeps out_specs simple)
+            outs = jax.tree.map(
+                lambda ol: jax.lax.psum(
+                    jnp.where(jax.lax.axis_index(pipe_axis) == s - 1, ol,
+                              jnp.zeros_like(ol)), pipe_axis), outs)
         return outs
 
     return jax.shard_map(
         local, mesh=mesh, check_vma=False,
-        in_specs=(p_specs, P(), P()),
-        out_specs=P())(stage_params, x, extra)
+        in_specs=(p_specs, io_spec, P()),
+        out_specs=io_spec)(stage_params, x, extra)

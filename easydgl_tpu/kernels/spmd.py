@@ -79,7 +79,7 @@ def catalog_nll_spmd(hidden, table, bias, labels, mesh,
 
 
 def flash_attention_spmd(q, k, v, key_mask, mesh, *, causal: bool,
-                         dropout_rate: float = 0.0, seed=0,
+                         scale=None, dropout_rate: float = 0.0, seed=0,
                          block_q: int = 1024, block_k: int = 512,
                          interpret: bool = False):
     """Data- and head-sharded blockwise (flash) attention.
@@ -102,7 +102,7 @@ def flash_attention_spmd(q, k, v, key_mask, mesh, *, causal: bool,
         if shard_heads:
             mi = jax.lax.axis_index(model_ax)
             shard_seed = shard_seed + (mi + 1) * jnp.int32(15485863)
-        return flash_attention(q_, k_, v_, km_, causal=causal,
+        return flash_attention(q_, k_, v_, km_, causal=causal, scale=scale,
                                dropout_rate=dropout_rate, seed=shard_seed,
                                block_q=block_q, block_k=block_k,
                                interpret=interpret)

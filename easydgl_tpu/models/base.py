@@ -37,6 +37,18 @@ def kernel_enabled(cfg: Config) -> bool:
     return False
 
 
+def mau_impl(cfg: Config) -> str:
+    """MAU/BiMAU implementation for the self-modulating models
+    (CTSMA/EasyDGL). ``attention_impl == "flash"`` is the framework's
+    long-context switch; for this family it selects the blocked two-sweep
+    schedule (kernels/mau_blocked.py) — O(T * block) memory like the MHA
+    family's flash kernel. Otherwise the fused Pallas chain kernel when
+    kernels are enabled, else the materialized XLA chain."""
+    if cfg.attention_impl == "flash":
+        return "blocked"
+    return "fused" if kernel_enabled(cfg) else "xla"
+
+
 class OutputBias(nn.Module):
     """Learned per-item bias with a -1000 pad on item 0
     (reference Base.py:106-113)."""

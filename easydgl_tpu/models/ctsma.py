@@ -47,11 +47,11 @@ class CTSMA(SequentialModel):
 
         intensities = []
         for i in range(cfg.num_blocks):
-            from easydgl_tpu.models.base import kernel_enabled
+            from easydgl_tpu.models.base import mau_impl
             attn = MAU(cfg.num_units, cfg.num_heads, cfg.num_events,
                        cfg.attention_probs_dropout_rate,
-                       intensity_impl=("fused" if kernel_enabled(cfg)
-                                       else "xla"),
+                       intensity_impl=mau_impl(cfg),
+                       blocked_block_k=cfg.mau_block_k,
                        name=f"block{i}_mau")
             ffn = FeedForward((cfg.num_units, cfg.num_units),
                               cfg.hidden_dropout_rate, name=f"block{i}_ffn")

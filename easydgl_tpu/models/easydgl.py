@@ -121,13 +121,13 @@ class EasyDGL(SequentialModel):
 
         intensities = []
         for i in range(cfg.num_blocks):
-            from easydgl_tpu.models.base import kernel_enabled
+            from easydgl_tpu.models.base import mau_impl
             last = i == cfg.num_blocks - 1
             qpos = qpos_last if last else None
             attn = BiMAU(cfg.num_units, cfg.num_heads, cfg.num_events,
                          cfg.attention_probs_dropout_rate,
-                         intensity_impl=("fused" if kernel_enabled(cfg)
-                                         else "xla"),
+                         intensity_impl=mau_impl(cfg),
+                         blocked_block_k=cfg.mau_block_k,
                          name=f"block{i}_bimau")
             a, intny = attn(x, x, key_mask, spans, marks, deterministic=det,
                             query_positions=qpos)

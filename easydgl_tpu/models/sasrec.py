@@ -21,6 +21,31 @@ from easydgl_tpu.nn.coding import Embedding, PositionCoding
 from easydgl_tpu.nn.layers import ContribLayerNorm, FeedForward
 
 
+class SASRECBlock(nn.Module):
+    """One SASREC encoder block as a STANDALONE module — the pipeline
+    stage body (train/pp.py). Child names ``attn/ffn/ln0/ln1`` map 1:1 to
+    the sequential model's top-level ``block{i}_attn/...`` groups
+    (train/pp.py::pp_partition rekeys them), so the same trained
+    parameters drive both layouts; the PP-vs-sequential equality test
+    (tests/test_pp.py) is the drift guard between this module and the
+    inline block in ``SASREC.__call__``."""
+    cfg: object
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool):
+        cfg = self.cfg
+        attn = MultiHeadAttention(cfg.num_units, cfg.num_heads,
+                                  cfg.attention_probs_dropout_rate,
+                                  impl=cfg.attention_impl,
+                                  cp_impl=cfg.cp_impl, name="attn")
+        ffn = FeedForward((cfg.num_units, cfg.num_units),
+                          cfg.hidden_dropout_rate, name="ffn")
+        x = attn(ContribLayerNorm(name="ln0")(x), x,
+                 deterministic=deterministic, causality=True)
+        x = ffn(ContribLayerNorm(name="ln1")(x), deterministic=deterministic)
+        return x * mask
+
+
 class SASREC(SequentialModel):
     data_mode: str = "regressive"
     loss_mode: str = "softmax_eps"

@@ -32,12 +32,21 @@ class TGAT(SequentialModel):
                               scale=True, name="item_embs")
         x = item_embs(ids)
 
-        spans = jnp.maximum(ts[:, 1:, None] - ts[:, None, :-1], 0.0)
-
         pcoding_k = PositionCoding(cfg.seqslen, cfg.num_units, name="pcoding_k")
         tcoding_k = TimeFunctionCoding(cfg.num_units, name="tcoding_k")
         k_pos = pcoding_k.code(x)
-        k_int = tcoding_k.code(spans)
+        if cfg.attention_impl in ("factored", "flash"):
+            # long-context mode: the (B, Tq, Tk, C) coded tensor never
+            # exists — the Bochner features factor into per-position
+            # cos/sin products (nn/coding.py::TimeFunctionCoding.factors);
+            # "flash" additionally streams the augmented q/k through the
+            # blockwise kernel for O(T) memory.
+            k_int = None
+            factors = tcoding_k.factors(ts[:, 1:], ts[:, :-1])
+        else:
+            spans = jnp.maximum(ts[:, 1:, None] - ts[:, None, :-1], 0.0)
+            k_int = tcoding_k.code(spans)
+            factors = None
 
         x = nn.Dropout(cfg.hidden_dropout_rate, deterministic=det)(x)
         mask = (ids != 0).astype(x.dtype)[:, :, None]
@@ -46,11 +55,14 @@ class TGAT(SequentialModel):
         for i in range(cfg.num_blocks):
             attn = TfMultiHeadAttention(cfg.num_units, cfg.num_heads,
                                         cfg.attention_probs_dropout_rate,
+                                        impl=cfg.attention_impl,
+                                        cp_impl=cfg.cp_impl,
                                         name=f"block{i}_attn")
             ffn = FeedForward((cfg.num_units, cfg.num_units),
                               cfg.hidden_dropout_rate, name=f"block{i}_ffn")
             x = attn(ContribLayerNorm(name=f"block{i}_ln0")(x), x,
-                     k_pos, k_int, deterministic=det, causality=True)
+                     k_pos, k_int, deterministic=det, causality=True,
+                     time_factors=factors)
             x = ffn(ContribLayerNorm(name=f"block{i}_ln1")(x),
                     deterministic=det)
             x = x * mask

@@ -40,11 +40,22 @@ class TGREC(SequentialModel):
         x = x + PositionCoding(cfg.seqslen, cfg.num_units,
                                name="pcoding").code(x)
 
-        spans = jnp.maximum(ts[:, 1:, None] - ts[:, None, :-1], 0.0)
         tcoding = TimeFunctionCoding(cfg.num_units, name="tcoding")
         b, t = ids.shape
         q_time = tcoding.code(jnp.zeros((b, t, 1), jnp.float32))
-        k_time = tcoding.code(spans)
+        if cfg.attention_impl in ("factored", "flash"):
+            # long-context mode: the (B, Tq, Tk, C) coded tensor — the
+            # zoo's heaviest O(L^2*C) object — never exists; the Bochner
+            # features factor per position and the Dense over the concat
+            # key splits by linearity (nn/temporal.py::TgMultiHeadAttention
+            # docstring). "flash" additionally streams the augmented
+            # q/k/v blockwise for O(T) memory.
+            k_time = None
+            factors = tcoding.factors(ts[:, 1:], ts[:, :-1])
+        else:
+            spans = jnp.maximum(ts[:, 1:, None] - ts[:, None, :-1], 0.0)
+            k_time = tcoding.code(spans)
+            factors = None
 
         x = nn.Dropout(cfg.hidden_dropout_rate, deterministic=det)(x)
         key_mask = (ids != 0).astype(jnp.float32)
@@ -52,9 +63,11 @@ class TGREC(SequentialModel):
         for i in range(cfg.num_blocks):
             attn = TgMultiHeadAttention(cfg.num_units, cfg.num_heads,
                                         cfg.attention_probs_dropout_rate,
+                                        impl=cfg.attention_impl,
                                         name=f"block{i}_attn")
             a = attn(x, x, key_mask, q_time, k_time,
-                     deterministic=det, causality=True)       # (B, T, 2C)
+                     deterministic=det, causality=True,
+                     time_factors=factors)                    # (B, T, 2C)
             a = nn.Dropout(cfg.hidden_dropout_rate, deterministic=det)(a)
             m = jnp.concatenate([a, x], axis=-1)               # (B, T, 3C)
             m = nn.relu(Dense(cfg.num_units, name=f"block{i}_inter")(m))

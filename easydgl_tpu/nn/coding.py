@@ -140,6 +140,37 @@ class TimeFunctionCoding(nn.Module):
             x = x[:, :, None]  # (B, T, 1) — reference reshapes to (B,T,-1)
         return jnp.cos(x[..., None] * self.basis_freq + self.phase)
 
+    def factors(self, q_times: jnp.ndarray, k_times: jnp.ndarray):
+        """Per-position factorization of the pairwise Bochner features:
+
+        ``cos(w*(tq - tk) + phi) = cos(w*tq + phi)*cos(w*tk)
+                                 + sin(w*tq + phi)*sin(w*tk)``
+
+        (angle addition), so every per-PAIR feature is a rank-2 product of
+        per-POSITION features — O(L*C) memory instead of the reference's
+        O(L^2*C) coded tensor (coding.py:97-122 gathered per (q, k)).
+        Exactly equal to ``code(tq - tk)`` wherever tq >= tk; the callers'
+        clamp ``(tq - tk)+`` (TGAT.py:51-54) is inactive on every unmasked
+        causal entry because event times are nondecreasing, so the
+        factored attention matches the dense path bit-for-bit there
+        (tests/test_factored_time.py).
+
+        q_times/k_times: (B, T) scaled timestamps. Returns (cq, sq, ck,
+        sk), each (B, T, num_units); the phase rides the query side.
+
+        Times are CENTERED per row (t - max_t) before the trig: the
+        identity only involves tq - tk, so any per-row shift is exact —
+        but it moves the f32 cos arguments from w*t_absolute (~1e4 rad,
+        whose argument-reduction ulp is ~1e-2) down to w*span, the same
+        magnitude class the dense path's cos(w*(tq-tk)) sees, keeping
+        factored == dense to float noise instead of trig-reduction noise.
+        """
+        t0 = jnp.max(q_times.astype(jnp.float32), axis=-1, keepdims=True)
+        aq = (q_times.astype(jnp.float32) - t0)[..., None] \
+            * self.basis_freq + self.phase
+        ak = (k_times.astype(jnp.float32) - t0)[..., None] * self.basis_freq
+        return jnp.cos(aq), jnp.sin(aq), jnp.cos(ak), jnp.sin(ak)
+
 
 class TimeSinusoidCoding(nn.Module):
     """Fixed interleaved sin/cos coding (coding.py:125-149); no params."""

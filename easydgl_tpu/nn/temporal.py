@@ -142,27 +142,116 @@ class TiMultiHeadAttention(nn.Module):
 
 
 class TfMultiHeadAttention(nn.Module):
-    """Functional-time-encoding attention (reference temporal.py:108-184)."""
+    """Functional-time-encoding attention (reference temporal.py:108-184).
+
+    Two exact forms of the time-feature logit term
+    ``sum_c q_c * cos(w_c*(tq - tk) + phi_c)``:
+
+    * DENSE (default): the model materializes the (B, Tq, Tk, C) coded
+      tensor ``k_int`` — the reference layout, fine at L=30.
+    * FACTORED (long-context; pass ``time_factors`` from
+      TimeFunctionCoding.factors instead of ``k_int``): by the angle-
+      addition identity the term becomes an augmented inner product
+      ``[q, q, q*cq, q*sq] . [k, kp, ck, sk]`` — plain attention over
+      4d-wide heads, O(L*C) memory, exact on every unmasked entry (event
+      times are nondecreasing, so the reference's (tq - tk)+ clamp is
+      inactive wherever the causal+key mask admits). This also makes the
+      family eligible for:
+      - ``impl="flash"`` — the augmented q/k ride the blockwise Pallas
+        kernel (kernels/flash_attention.py) with the ORIGINAL 1/sqrt(d)
+        scale: O(T) memory long context for TGAT;
+      - a cp>1 SEQUENCE mesh — ring/Ulysses CP (dist/context.py) over the
+        augmented q/k, since the factored form is mask-plus-QK^T
+        attention, which is all the ring assumes.
+    """
     num_units: int
     num_heads: int
     dropout_rate: float = 0.0
+    impl: str = "xla"      # xla | flash (flash requires time_factors)
+    cp_impl: str = "ring"  # ring | ulysses (under a cp>1 mesh)
 
     @nn.compact
     def __call__(self, queries, keys, k_pos, k_int, *,
-                 deterministic: bool, causality: bool):
+                 deterministic: bool, causality: bool, time_factors=None):
         h = self.num_heads
         q = split_heads(Dense(self.num_units, name="q")(queries), h)
         k = split_heads(Dense(self.num_units, name="k")(keys), h)
         v = split_heads(Dense(self.num_units, name="v")(keys), h)
         kp = split_heads(k_pos, h)
-        ki = _split_heads_4d(k_int, h)
         d = q.shape[-1]
-
-        logits = (mxu_einsum("bhqd,bhkd->bhqk", q, k)
-                  + mxu_einsum("bhqd,bhkd->bhqk", q, kp)
-                  + mxu_einsum("bhqkd,bhqd->bhqk", ki, q))
-        logits = logits / (d ** 0.5)
         key_mask = jnp.sign(jnp.sum(jnp.abs(keys), axis=-1))
+        rate = 0.0 if deterministic else float(self.dropout_rate)
+
+        if time_factors is not None:
+            cq, sq, ck, sk = time_factors
+            qa = jnp.concatenate(
+                [q, q, q * split_heads(cq, h).astype(q.dtype),
+                 q * split_heads(sq, h).astype(q.dtype)], axis=-1)
+            ka = jnp.concatenate(
+                [k, kp, split_heads(ck, h).astype(k.dtype),
+                 split_heads(sk, h).astype(k.dtype)], axis=-1)
+
+            from easydgl_tpu.core.mesh import spmd_mesh, seq_axis_info
+            mesh = spmd_mesh()
+            seq_ax, _ = seq_axis_info(mesh)
+            if seq_ax is not None or self.impl == "flash":
+                if rate > 0.0:
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (), 0,
+                        jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                else:
+                    seed = jnp.zeros((), jnp.int32)
+                if seq_ax is not None:
+                    from easydgl_tpu.dist.context import (
+                        ring_attention_spmd, ulysses_attention_spmd)
+                    cp_fn = (ulysses_attention_spmd
+                             if self.cp_impl == "ulysses"
+                             else ring_attention_spmd)
+                    ctx = cp_fn(qa, ka, v, key_mask, mesh, seq_axis=seq_ax,
+                                data_axis=mesh.axis_names[0],
+                                causal=causality, scale=1.0 / (d ** 0.5),
+                                dropout_rate=rate, seed=seed)
+                else:
+                    # the blockwise kernel streams q/k/v through one block
+                    # width — zero-pad v to the augmented width (zero
+                    # columns are exact pass-throughs with zero grads)
+                    vpad = jnp.concatenate(
+                        [v, jnp.zeros(v.shape[:-1]
+                                      + (qa.shape[-1] - v.shape[-1],),
+                                      v.dtype)], axis=-1)
+                    if mesh is not None:
+                        from easydgl_tpu.kernels.spmd import \
+                            flash_attention_spmd
+                        ctx = flash_attention_spmd(
+                            qa, ka, vpad, key_mask, mesh, causal=causality,
+                            scale=1.0 / (d ** 0.5), dropout_rate=rate,
+                            seed=seed)
+                    else:
+                        from easydgl_tpu.kernels.flash_attention import \
+                            flash_attention
+                        ctx = flash_attention(
+                            qa, ka, vpad, key_mask, causal=causality,
+                            scale=1.0 / (d ** 0.5), dropout_rate=rate,
+                            seed=seed)
+                    ctx = ctx[..., :v.shape[-1]]
+                    # uniform-fallback patch for fully-masked rows (same
+                    # contract as nn/attention.py::MultiHeadAttention)
+                    if causality:
+                        vis = jnp.cumsum(key_mask, axis=1) > 0
+                    else:
+                        vis = jnp.broadcast_to(
+                            jnp.any(key_mask > 0, axis=1, keepdims=True),
+                            key_mask.shape)
+                    mean_v = jnp.mean(v, axis=2, keepdims=True)
+                    ctx = jnp.where(vis[:, None, :, None], ctx, mean_v)
+                return merge_heads(ctx) + queries
+            logits = mxu_einsum("bhqd,bhkd->bhqk", qa, ka)
+        else:
+            ki = _split_heads_4d(k_int, h)
+            logits = (mxu_einsum("bhqd,bhkd->bhqk", q, k)
+                      + mxu_einsum("bhqd,bhkd->bhqk", q, kp)
+                      + mxu_einsum("bhqkd,bhqd->bhqk", ki, q))
+        logits = logits / (d ** 0.5)
         logits = _mask_logits(logits, key_mask, causality)
         probs = jax.nn.softmax(logits, axis=-1)
         probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
@@ -175,36 +264,171 @@ class TgMultiHeadAttention(nn.Module):
 
     Output width is 2*num_units (dense over merged heads + residual with the
     time-concatenated query + last-axis LN, temporal.py:261-263).
+
+    FULLY factorable (long-context mode; pass ``time_factors`` from
+    TimeFunctionCoding.factors instead of ``k_time``): the reference's
+    per-(q, k) keys/values ``Dense([items_k, coding(tq - tk)])`` are
+    linear, so they split as ``A_k + coding(tq - tk) @ W[C:]`` — and the
+    coding factors per position by the angle-addition identity. The logit
+    becomes an augmented inner product and the value mix becomes
+    ``probs @ [A, ck, sk]`` recombined per query, so NO (B, Tq, Tk, 2C)
+    tensor exists (the reference's is the heaviest O(L^2*C) object in the
+    zoo, temporal.py:209-215). Exact: same Dense parameters ("q"/"k"/"v"
+    kernels split by basis application), same masked softmax, same
+    normalize-then-drop order (the dropped probs feed all three value
+    streams, exactly like the dense path's single probs tensor).
     """
     num_units: int
     num_heads: int
     dropout_rate: float = 0.0
+    impl: str = "xla"  # "flash" streams the augmented q/k/v blockwise
 
     @nn.compact
     def __call__(self, queries, keys, key_mask, q_time, k_time, *,
-                 deterministic: bool, causality: bool):
-        """q_time: (B, Tq, 1, C) coding at Δt=0; k_time: (B, Tq, Tk, C)."""
+                 deterministic: bool, causality: bool, time_factors=None):
+        """q_time: (B, Tq, 1, C) coding at Δt=0; k_time: (B, Tq, Tk, C)
+        (dense path; pass None with ``time_factors`` instead)."""
         from easydgl_tpu.nn.layers import LastAxisLayerNorm
         h = self.num_heads
         b, tq, c = queries.shape
         tk = keys.shape[1]
-
+        d_q = Dense(self.num_units, name="q")
+        d_k = Dense(self.num_units, name="k")
+        d_v = Dense(self.num_units, name="v")
         q4 = jnp.concatenate([queries[:, :, None, :], q_time], axis=-1)
-        k4 = jnp.concatenate(
-            [jnp.broadcast_to(keys[:, None, :, :], (b, tq, tk, c)), k_time],
-            axis=-1)  # (B, Tq, Tk, 2C)
 
-        q = _split_heads_4d(Dense(self.num_units, name="q")(q4), h)  # (B,H,Tq,1,d)
-        k = _split_heads_4d(Dense(self.num_units, name="k")(k4), h)  # (B,H,Tq,Tk,d)
-        v = _split_heads_4d(Dense(self.num_units, name="v")(k4), h)
-        d = q.shape[-1]
+        if time_factors is not None:
+            cq, sq, ck, sk = (f.astype(jnp.float32) for f in time_factors)
+            dh = self.num_units // h
+            q = _split_heads_4d(d_q(q4), h)[:, :, :, 0, :]  # (B, H, Tq, d)
+            zc = jnp.zeros_like(keys)
+            # items part A = W[:C] @ keys + bias (bias rides this half);
+            # basis application extracts the coding half W[C:] exactly
+            ka = d_k(jnp.concatenate([keys, zc], axis=-1))  # (B, Tk, U)
+            va = d_v(jnp.concatenate([keys, zc], axis=-1))
+            eye2 = jnp.concatenate(
+                [jnp.zeros((c, c)), jnp.eye(c)], axis=-1).astype(keys.dtype)
+            zrow = jnp.zeros((1, 2 * c), keys.dtype)
+            wk2 = (d_k(eye2) - d_k(zrow)).reshape(c, h, dh)
+            wv2 = (d_v(eye2) - d_v(zrow)).reshape(c, h, dh)
 
-        logits = mxu_einsum("bhqod,bhqkd->bhqk", q, k) / (d ** 0.5)
-        logits = _mask_logits(logits, key_mask, causality)
-        probs = jax.nn.softmax(logits, axis=-1)
-        probs = nn.Dropout(self.dropout_rate, deterministic=deterministic)(probs)
-        out = mxu_einsum("bhqk,bhqkd->bhqd", probs, v)
-        out = merge_heads(out)  # (B, Tq, C)
+            u = mxu_einsum("bhqd,chd->bhqc", q, wk2)        # (B, H, Tq, C)
+
+            if self.impl == "flash":
+                # O(T) memory: logits AND the three value streams ride the
+                # blockwise kernel as one augmented attention —
+                # q~ = [q, u*cq, u*sq], k~ = v~-keys = [A, ck, sk]; the
+                # kernel returns [probs@A, probs@ck, probs@sk] stacked.
+                from easydgl_tpu.kernels.flash_attention import \
+                    flash_attention
+                rate = 0.0 if deterministic else float(self.dropout_rate)
+                if rate > 0.0:
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (), 0,
+                        jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                else:
+                    seed = jnp.zeros((), jnp.int32)
+                ckh = jnp.broadcast_to(ck[:, None], (b, h, tk, c))
+                skh = jnp.broadcast_to(sk[:, None], (b, h, tk, c))
+                uf = u.astype(jnp.float32)
+                qa = jnp.concatenate(
+                    [q.astype(jnp.float32), uf * cq[:, None],
+                     uf * sq[:, None]], axis=-1)
+                ka_aug = jnp.concatenate(
+                    [split_heads(ka, h).astype(jnp.float32), ckh, skh],
+                    axis=-1)
+                va_aug = jnp.concatenate(
+                    [split_heads(va, h).astype(jnp.float32), ckh, skh],
+                    axis=-1)
+                ctx = flash_attention(qa, ka_aug, va_aug,
+                                      key_mask.astype(jnp.float32),
+                                      causal=causality,
+                                      scale=1.0 / (dh ** 0.5),
+                                      dropout_rate=rate, seed=seed)
+                # uniform fallback for fully-masked rows (dense semantics)
+                if causality:
+                    vis = jnp.cumsum(key_mask, axis=1) > 0
+                else:
+                    vis = jnp.broadcast_to(
+                        jnp.any(key_mask > 0, axis=1, keepdims=True),
+                        key_mask.shape)
+                mean_v = jnp.mean(va_aug, axis=2, keepdims=True)
+                ctx = jnp.where(vis[:, None, :, None], ctx, mean_v)
+                out = ctx[..., :dh]
+                tm = (cq[:, None] * ctx[..., dh:dh + c]
+                      + sq[:, None] * ctx[..., dh + c:])
+                # clamp parity on dead rows (see the xla branch): the
+                # uniform fallback's time mean must use the CLAMPED
+                # features — prefix (k <= q+1) factored sums via cumsum
+                # plus (Tk - q - 2)+ copies of coding(0) = q_time.
+                qt0 = q_time[:, :, 0, :].astype(jnp.float32)
+                pos = jnp.arange(tq)
+                upto = jnp.minimum(pos + 1, tk - 1)
+                pre_c = jnp.cumsum(ck, axis=1)[:, upto]  # (B, Tq, C)
+                pre_s = jnp.cumsum(sk, axis=1)[:, upto]
+                nfut = jnp.maximum(tk - 2 - pos, 0).astype(jnp.float32)
+                tm_dead = (cq * pre_c + sq * pre_s
+                           + nfut[None, :, None] * qt0) / tk
+                tm = jnp.where(vis[:, None, :, None], tm, tm_dead[:, None])
+                out = out + mxu_einsum("bhqc,chd->bhqd", tm, wv2)
+                out = merge_heads(out.astype(queries.dtype))
+                out = Dense(2 * self.num_units, name="merge")(out)
+                out = out + q4[:, :, 0, :]
+                return LastAxisLayerNorm(name="ln")(out)
+
+            # Clamp parity. The models feed Δ[q,k] = ts[q+1] - ts[k]
+            # through the reference's (Δt)+ clamp (models/tgrec.py): for
+            # k <= q+1 the clamp is inactive (event times nondecreasing;
+            # ties hit coding(0) from both sides), while for k > q+1 the
+            # dense feature is exactly coding(0) = q_time. Under the
+            # causal mask prob mass reaches k > q only on DEAD
+            # (fully-masked pad-query) rows — the band split keeps
+            # factored == dense on those rows too, and under
+            # causality=False as well. The (Tq, Tk) band costs no memory
+            # class the O(L^2) probs don't already pay; the factored
+            # win — no (B, Tq, Tk, C) tensor — is untouched.
+            band = (jnp.arange(tk)[None, :]
+                    <= jnp.arange(tq)[:, None] + 1)[None, None]
+            qt0 = q_time[:, :, 0, :].astype(u.dtype)  # coding(0), (B,Tq,C)
+            t_fact = (mxu_einsum("bhqc,bkc->bhqk",
+                                 u * cq[:, None].astype(u.dtype), ck)
+                      + mxu_einsum("bhqc,bkc->bhqk",
+                                   u * sq[:, None].astype(u.dtype), sk))
+            t_fut = mxu_einsum("bhqc,bqc->bhq", u, qt0)[..., None]
+            logits = (mxu_einsum("bhqd,bhkd->bhqk", q, split_heads(ka, h))
+                      + jnp.where(band, t_fact, t_fut))
+            logits = logits / (dh ** 0.5)
+            logits = _mask_logits(logits, key_mask, causality)
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(self.dropout_rate,
+                               deterministic=deterministic)(probs)
+            out = mxu_einsum("bhqk,bhkd->bhqd", probs, split_heads(va, h))
+            pb = probs * band
+            pc = mxu_einsum("bhqk,bkc->bhqc", pb, ck)
+            ps = mxu_einsum("bhqk,bkc->bhqc", pb, sk)
+            rest = jnp.sum(probs - pb, axis=-1)  # beyond-band prob mass
+            tm = (cq[:, None].astype(pc.dtype) * pc
+                  + sq[:, None].astype(ps.dtype) * ps
+                  + rest[..., None] * qt0[:, None].astype(pc.dtype))
+            out = out + mxu_einsum("bhqc,chd->bhqd", tm, wv2)
+            out = merge_heads(out)  # (B, Tq, C)
+        else:
+            k4 = jnp.concatenate(
+                [jnp.broadcast_to(keys[:, None, :, :], (b, tq, tk, c)),
+                 k_time], axis=-1)  # (B, Tq, Tk, 2C)
+
+            q = _split_heads_4d(d_q(q4), h)   # (B, H, Tq, 1, d)
+            k = _split_heads_4d(d_k(k4), h)   # (B, H, Tq, Tk, d)
+            v = _split_heads_4d(d_v(k4), h)
+            d = q.shape[-1]
+
+            logits = mxu_einsum("bhqod,bhqkd->bhqk", q, k) / (d ** 0.5)
+            logits = _mask_logits(logits, key_mask, causality)
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(self.dropout_rate,
+                               deterministic=deterministic)(probs)
+            out = mxu_einsum("bhqk,bhqkd->bhqd", probs, v)
+            out = merge_heads(out)  # (B, Tq, C)
 
         out = Dense(2 * self.num_units, name="merge")(out)
         out = out + q4[:, :, 0, :]  # residual with (B, Tq, 2C) query
@@ -226,11 +450,15 @@ class MAU(nn.Module):
     causal_default: bool = True
     diag_reset: bool = False          # BiMAU: intensity diagonal := 1
     # "xla" (materialized einsum chain) | "fused" (whole-chain Pallas
-    # kernel, kernels/mau_attention.py). A standalone intensity-head-only
+    # kernel, kernels/mau_attention.py) | "blocked" (key-block-streaming
+    # two-sweep schedule, kernels/mau_blocked.py — O(T * block) memory,
+    # the single-chip LONG-CONTEXT mode; models select it under
+    # cfg.attention_impl == "flash"). A standalone intensity-head-only
     # kernel existed through round 2 but was production-unreachable once
     # the full-chain kernel landed, and was deleted (round-3 keep-or-
     # delete; the chain kernel covers every accelerated call site).
     intensity_impl: str = "xla"
+    blocked_block_k: int = 512        # key-block size of the blocked mode
 
     def setup(self):
         if self.fused_qkvt:
@@ -367,6 +595,30 @@ class MAU(nn.Module):
                 data_axis=cp_mesh.axis_names[0])
             return merge_heads(out4) + q_res, mark_intensity
 
+        if self.intensity_impl == "blocked" and qpos_i is None:
+            # single-chip long context: the two-sweep blocked schedule
+            # (kernels/mau_blocked.py) — the decomposition the ring MAU
+            # proves exact, as a lax.scan over key blocks. Gathered-query
+            # calls (Tq << Tk) fall through to the dense path below: their
+            # per-query memory is already O(M * Tk).
+            from easydgl_tpu.kernels.mau_blocked import mau_blocked
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            out4, mark_intensity = mau_blocked(
+                split_heads(qq, h), split_heads(kk, h),
+                split_heads(vv, h), split_heads(tt, h),
+                key_mask, intervals, mark_onehot.astype(jnp.float32),
+                self.intensity_kernel, self.intensity_bias,
+                self.intensity_weight, self.intensity_scaling, seed,
+                causal=causality, diag_reset=self.diag_reset,
+                dropout_rate=rate, block_k=self.blocked_block_k)
+            return merge_heads(out4) + q_res, mark_intensity
+
         if self.intensity_impl == "fused":
             # one Pallas kernel for the whole chain (kernels/mau_attention):
             # QK^T -> mask -> softmax -> probs@T -> intensity head ->
@@ -431,18 +683,20 @@ class MAU(nn.Module):
 
 
 def BiMAU(num_units, num_heads, num_events, dropout_rate=0.0, name=None,
-          intensity_impl="xla"):
+          intensity_impl="xla", blocked_block_k=512):
     """Bidirectional MAU (reference temporal.py:396-452): fused QKVT
     projection, no causal mask, intensity diagonal reset to 1."""
     return MAU(num_units, num_heads, num_events, dropout_rate,
                fused_qkvt=True, causal_default=False, diag_reset=True,
-               intensity_impl=intensity_impl, name=name)
+               intensity_impl=intensity_impl,
+               blocked_block_k=blocked_block_k, name=name)
 
 
 def MGAU(num_units, num_heads, num_events, dropout_rate=0.0, name=None,
-         intensity_impl="xla"):
+         intensity_impl="xla", blocked_block_k=512):
     """Gated variant (reference temporal.py:455-508); defined but unused by
     any reference model — provided for API completeness."""
     return MAU(num_units, num_heads, num_events, dropout_rate,
                fused_qkvt=True, causal_default=False, diag_reset=False,
-               intensity_impl=intensity_impl, name=name)
+               intensity_impl=intensity_impl,
+               blocked_block_k=blocked_block_k, name=name)

@@ -170,6 +170,59 @@ def test_tisasrec_factored_long_forward():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_tisasrec_factored_long_train_step():
+    """Backward lock at L=512 for the factored interval path (the
+    factored-vs-dense GRADS equality runs at modest L above; this pins
+    the train step — loss + every grad finite — at a length where a
+    factored-backward bug, e.g. in the segment-sum transpose, would
+    surface as NaN/Inf or OOM)."""
+    from easydgl_tpu.train.steps import compute_loss
+    cfg = preset("TiSASREC").replace(
+        num_items=100, seqslen=512, num_units=16, num_heads=2,
+        num_blocks=1, timelen=512, batch_size=2,
+        hidden_dropout_rate=0.0, attention_probs_dropout_rate=0.0,
+        attention_impl="factored")
+    model = build_model(cfg)
+    ds = synthetic_split(num_rows=4, num_items=100, seqslen=512, seed=1)
+    ld = BatchLoader(ds, data_mode="regressive", batch_size=2,
+                     masklen=cfg.masklen, is_training=True)
+    features, labels, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(v) for k, v in features.items()}
+    params = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)},
+                        feats, is_training=True)
+    loss, grads = jax.value_and_grad(lambda p: compute_loss(
+        model, p, feats, jnp.asarray(labels),
+        {"dropout": jax.random.key(2)}))(params)
+    assert np.isfinite(float(loss))
+    assert all(bool(jnp.all(jnp.isfinite(x)))
+               for x in jax.tree.leaves(grads))
+
+
+def test_grec_long_train_step():
+    """Backward lock at L=512 for the conv family (forward-only before
+    round 5): loss + grads finite through the dilated-conv stack."""
+    from easydgl_tpu.train.steps import compute_loss
+    cfg = preset("GREC").replace(num_items=100, seqslen=512, num_units=16,
+                                 masklen=8, batch_size=4,
+                                 hidden_dropout_rate=0.0)
+    model = build_model(cfg)
+    ds = synthetic_split(num_rows=8, num_items=100, seqslen=512, seed=0)
+    ld = BatchLoader(ds, data_mode=model.data_mode, batch_size=4,
+                     masklen=8, is_training=True)
+    features, labels, _ = next(ld.epoch(0))
+    feats = {k: jnp.asarray(v) for k, v in features.items()}
+    params = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)},
+                        feats, is_training=True)
+    loss, grads = jax.value_and_grad(lambda p: compute_loss(
+        model, p, feats, jnp.asarray(labels),
+        {"dropout": jax.random.key(2)}))(params)
+    assert np.isfinite(float(loss))
+    assert all(bool(jnp.all(jnp.isfinite(x)))
+               for x in jax.tree.leaves(grads))
+
+
 def test_grec_long_context_forward():
     """The conv family is long-context out of the box: GREC's dilated
     convs are O(L*C) with no (L, L) tensor anywhere — a L=512 forward
