@@ -37,6 +37,13 @@ def parse_args(argv=None):
                    help="context-parallel degree: shards the sequence over "
                         "a third mesh axis; attention runs as a ring "
                         "(dist/context.py) — for long-context configs")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel degree: splits the block stack "
+                        "into GPipe stages over a pipe mesh axis "
+                        "(train/pp.py); needs (num_blocks-1) %% pp == 0")
+    p.add_argument("--pp_microbatches", type=int, default=None,
+                   help="GPipe microbatch count (default: auto, >=4*pp "
+                        "when batch_size divides)")
     p.add_argument("--attention_impl", default=None,
                    choices=["xla", "flash", "factored"],
                    help="attention core: 'flash' = blockwise Pallas kernel "
@@ -97,7 +104,7 @@ def build_config(args):
               "time_scale", "l2_reg", "ct_reg", "hidden_dropout_rate",
               "attention_probs_dropout_rate", "mask_seen", "seed",
               "gather_queries", "attention_impl", "remat", "cp_impl",
-              "filter_width", "window_ratio"):
+              "pp_microbatches", "filter_width", "window_ratio"):
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v
@@ -170,11 +177,11 @@ def main(argv=None):
     logging.info("config: %s", cfg)
 
     mesh = None
-    if args.dp or args.mp > 1 or args.cp > 1:
+    if args.dp or args.mp > 1 or args.cp > 1 or args.pp > 1:
         from easydgl_tpu.config import MeshConfig
         from easydgl_tpu.core.mesh import make_mesh
         mesh = make_mesh(MeshConfig(dp=args.dp or -1, mp=args.mp,
-                                    cp=args.cp))
+                                    cp=args.cp, pp=args.pp))
         logging.info("mesh: %s", dict(mesh.shape))
     if cfg.use_pallas is None:
         # accelerator backends get the fused Pallas kernels; under a mesh

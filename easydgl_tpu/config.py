@@ -142,6 +142,10 @@ class Config:
     # FLOPs for dropping every intra-block residual — the long-context
     # memory lever (param names are unchanged; checkpoints interchange).
     remat: bool = False
+    # GPipe microbatch count under a pp>1 mesh (train/pp.py). 0 = auto:
+    # the largest of (4*pp, 2*pp, pp) dividing batch_size — >=4*pp keeps
+    # the fill/drain bubble under 20%.
+    pp_microbatches: int = 0
     # dropout PRNG: "auto" = the hardware rbg generator on TPU (threefry's
     # per-step u32 fusions cost ~0.7 ms/step at the flagship shape),
     # threefry2x32 elsewhere (keeps CPU goldens/determinism fixtures

@@ -57,7 +57,8 @@ def stack_stage_params(per_stage_params):
 
 def pipeline_apply(stage_fn: Callable[[Any, Any], Any], stage_params,
                    x, mesh: Mesh, *, pipe_axis: str,
-                   extra: Optional[Any] = None):
+                   extra: Optional[Any] = None,
+                   batch_axis: Optional[str] = None):
     """Run ``x`` through S pipelined stages: stage i applies
     ``stage_fn(params_i, h[, extra])`` and forwards to stage i+1.
 
@@ -85,7 +86,14 @@ def pipeline_apply(stage_fn: Callable[[Any, Any], Any], stage_params,
     m_loc = m // s if shard_io else m
     p_specs = jax.tree.map(
         lambda l: P(pipe_axis, *([None] * (l.ndim - 1))), stage_params)
-    io_spec = P(pipe_axis) if shard_io else P()
+    # batch_axis (dp composition): microbatch ROWS stay sharded over the
+    # data axis end to end — specs are (M over pipe, mb over data)
+    io_spec = (P(pipe_axis, batch_axis) if shard_io
+               else P(None, batch_axis))
+    # extra leaves can be per-microbatch scalars (ndim 1) — name the data
+    # axis only on leaves that HAVE a row dim
+    ex_specs = (P() if extra is None else jax.tree.map(
+        lambda l: P(None, batch_axis) if l.ndim >= 2 else P(), extra))
 
     def local(params, xs, ex):
         params = jax.tree.map(lambda l: l[0], params)  # this stage's slice
@@ -149,5 +157,5 @@ def pipeline_apply(stage_fn: Callable[[Any, Any], Any], stage_params,
 
     return jax.shard_map(
         local, mesh=mesh, check_vma=False,
-        in_specs=(p_specs, io_spec, P()),
+        in_specs=(p_specs, io_spec, ex_specs),
         out_specs=io_spec)(stage_params, x, extra)

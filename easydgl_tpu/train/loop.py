@@ -127,14 +127,43 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
                               jnp.asarray(mt), is_training=True)
     state = init_state(model, sample, cfg.seed)
     batch_sh = None
+    to_eval_params = lambda p: p
     if mesh is not None:
         from easydgl_tpu.eval.evaluator import build_distributed_eval_step
+        from easydgl_tpu.core.mesh import pipe_axis_info
         from easydgl_tpu.train.sharded import (batch_shardings,
                                                build_sharded_train_step,
                                                shard_state)
-        state = shard_state(state, mesh)
-        train_step = build_sharded_train_step(model, mesh, None,
-                                              mark_table=mt)
+        pipe_ax, pp = pipe_axis_info(mesh)
+        if pipe_ax is not None:
+            # pipeline parallelism (train/pp.py): stage params sharded
+            # over the pipe axis, GPipe microbatching; eval/checkpoints
+            # convert through pp_merge to the sequential layout on demand
+            from easydgl_tpu.train.pp import (build_pp_train_step,
+                                              init_pp_state, pp_merge,
+                                              pp_supported)
+            if not pp_supported(model):
+                raise ValueError(
+                    f"{cfg.model}: no pipeline decomposition registered "
+                    "(train/pp.py::_PP_MODELS); drop --pp or pick a "
+                    "supported model")
+            mb = cfg.pp_microbatches
+            if mb <= 0:  # auto: >=4*S keeps the bubble under 20%; each
+                # microbatch's rows must still shard over the data axis
+                b = cfg.batch_size
+                dp_size = mesh.shape[mesh.axis_names[0]]
+                mb = next((m for m in (4 * pp, 2 * pp, pp)
+                           if b % m == 0 and (b // m) % dp_size == 0), 1)
+            state = init_pp_state(model, sample, mesh, pipe_axis=pipe_ax,
+                                  seed=cfg.seed, params=state.params)
+            train_step = build_pp_train_step(model, mesh, mb,
+                                             pipe_axis=pipe_ax,
+                                             mark_table=mt)
+            to_eval_params = lambda p: pp_merge(p, cfg.num_blocks)
+        else:
+            state = shard_state(state, mesh)
+            train_step = build_sharded_train_step(model, mesh, None,
+                                                  mark_table=mt)
         mp = mesh.shape[mesh.axis_names[1]]
         if mp > 1 and model.vocab_size % mp == 0:
             eval_step = build_distributed_eval_step(model, mesh,
@@ -177,10 +206,10 @@ def train_model(cfg: Config, train_ds: PackedDataset, valid_ds: PackedDataset,
 
         if epoch % cfg.eval_per_steps:
             continue
-        vl = evaluate(eval_step, state.params, vl_loader, batch_sh,
-                      multihost)
-        te = evaluate(eval_step, state.params, te_loader, batch_sh,
-                      multihost)
+        vl = evaluate(eval_step, to_eval_params(state.params), vl_loader,
+                      batch_sh, multihost)
+        te = evaluate(eval_step, to_eval_params(state.params), te_loader,
+                      batch_sh, multihost)
         log.info("%03d: valid %s", epoch,
                  {k: f"{v:.5f}" for k, v in vl.items()})
         if stopper.step(mean_loss, vl.get("H100", 0.0), vl, te):

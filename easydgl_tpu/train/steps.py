@@ -78,12 +78,17 @@ from easydgl_tpu.models.base import kernel_enabled as _kernel_enabled
 
 
 def compute_loss(model: SequentialModel, params, features: Dict, labels,
-                 rngs: Optional[Dict] = None) -> jnp.ndarray:
+                 rngs: Optional[Dict] = None, apply_fn=None) -> jnp.ndarray:
+    """``apply_fn`` overrides ``model.apply`` (same signature) for
+    alternative forward layouts — e.g. the pipeline-parallel one
+    (train/pp.py), whose params tree is {"rest", "stages"}. Everything
+    downstream (streaming catalog NLL, loss modes, the path-keyed l2
+    regularizers) is layout-agnostic."""
     cfg = model.cfg
     from easydgl_tpu.nn.layers import use_compute_dtype
     with use_compute_dtype(cfg.matmul_dtype):
-        logits, aux = model.apply(params, features, is_training=True,
-                                  rngs=rngs)
+        logits, aux = (apply_fn or model.apply)(params, features,
+                                                is_training=True, rngs=rngs)
     flat = labels.reshape(-1)
     from easydgl_tpu.models.base import SCORING
     if SCORING in aux and _kernel_enabled(cfg):

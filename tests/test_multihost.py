@@ -414,3 +414,117 @@ def test_two_process_context_parallel(tmp_path):
         np.testing.assert_allclose(float(results[0]["summary"][k]),
                                    float(v), rtol=1e-5, atol=1e-6,
                                    err_msg=k)
+
+
+WORKER_PP = r"""
+import json, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)   # 2 local devices per process
+pid, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+jax.distributed.initialize(f"127.0.0.1:{port}", 2, pid)
+assert jax.process_count() == 2 and jax.device_count() == 4
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from easydgl_tpu.config import MeshConfig, preset
+from easydgl_tpu.core.mesh import make_mesh
+from easydgl_tpu.core.runtime import host_shard_info
+from easydgl_tpu.data.synthetic import synthetic_split
+from easydgl_tpu.train.loop import train_model
+from easydgl_tpu.train.pp import pp_merge
+
+# SASREC on a 2-host (dp=2, mp=1, pp=2) mesh: host-level data parallelism
+# COMPOSED with GPipe pipeline parallelism (blocks 1..2 split into two
+# stages over each host's device pair, stage hops via ppermute inside
+# shard_map — dist/pipeline.py + train/pp.py), trained through the real
+# multi-controller loop.
+cfg = preset("SASREC").replace(
+    num_items=39, seqslen=8, num_units=16, num_heads=2, num_blocks=3,
+    batch_size=8, hidden_dropout_rate=0.0,
+    attention_probs_dropout_rate=0.0, mask_seen=False,
+    mesh=MeshConfig(dp=2, mp=1, pp=2))
+mk = dict(num_items=cfg.num_items, seqslen=cfg.seqslen)
+tr = synthetic_split(num_rows=16, seed=1, **mk)
+ev = synthetic_split(num_rows=11, seed=2, **mk)
+
+host_id, num_hosts = host_shard_info()
+mesh = make_mesh(cfg.mesh)
+assert mesh.axis_names == ("data", "model", "pipe")
+state, summary = train_model(cfg, tr, ev, ev, mesh=mesh, num_epochs=1)
+
+# gather the pipe-sharded stage params, convert to the sequential layout
+rep = jax.jit(lambda t: t,
+              out_shardings=NamedSharding(mesh, P()))(state.params)
+seq = pp_merge(jax.tree.map(lambda l: np.asarray(l.addressable_data(0)),
+                            rep), cfg.num_blocks)
+leaves, _ = jax.tree_util.tree_flatten(seq)
+if pid == 0:
+    np.savez(f"{outdir}/params_pp.npz",
+             **{str(i): l for i, l in enumerate(leaves)})
+print("RESULT", json.dumps({"host": host_id, "summary": summary,
+                            "n_leaves": len(leaves)}), flush=True)
+"""
+
+
+def test_two_process_pipeline_parallel(tmp_path):
+    """2 hosts x 2 local devices, (dp=2, mp=1, pp=2): multi-host DP
+    composed with GPipe pipeline parallelism through the production
+    train_model loop (--pp wiring); both hosts agree and a
+    single-process eval of the merged sequential params reproduces the
+    distributed eval exactly."""
+    worker = tmp_path / "worker_pp.py"
+    worker.write_text(WORKER_PP)
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), str(port), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, cwd=repo) for pid in (0, 1)]
+    results = {}
+    for out in _communicate_all(procs, timeout=900):
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                d = json.loads(line[7:])
+                results[d["host"]] = d
+
+    assert set(results) == {0, 1}
+    for k in results[0]["summary"]:
+        np.testing.assert_allclose(float(results[0]["summary"][k]),
+                                   float(results[1]["summary"][k]),
+                                   rtol=1e-6, err_msg=k)
+
+    import jax
+    import jax.numpy as jnp
+    from easydgl_tpu.config import MeshConfig, preset
+    from easydgl_tpu.data.synthetic import synthetic_split
+    from easydgl_tpu.models.registry import build_model
+    from easydgl_tpu.train.loop import evaluate, make_loaders
+    from easydgl_tpu.train.steps import build_eval_step, init_state
+
+    cfg = preset("SASREC").replace(
+        num_items=39, seqslen=8, num_units=16, num_heads=2, num_blocks=3,
+        batch_size=8, hidden_dropout_rate=0.0,
+        attention_probs_dropout_rate=0.0, mask_seen=False)
+    mk = dict(num_items=cfg.num_items, seqslen=cfg.seqslen)
+    tr = synthetic_split(num_rows=16, seed=1, **mk)
+    ev = synthetic_split(num_rows=11, seed=2, **mk)
+    model = build_model(cfg)
+    tr_l, vl_l, _ = make_loaders(cfg, model, tr, ev, ev)
+    f0, _, _ = next(tr_l.epoch(0))
+    template = init_state(model, {k: jnp.asarray(v) for k, v in f0.items()},
+                          cfg.seed)
+    loaded = np.load(tmp_path / "params_pp.npz")
+    _, treedef = jax.tree_util.tree_flatten(template.params)
+    assert len(loaded.files) == results[0]["n_leaves"]
+    params = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(loaded[str(i)])
+                  for i in range(len(loaded.files))])
+    ref = evaluate(build_eval_step(model), params, vl_l)
+    for k, v in ref.items():
+        np.testing.assert_allclose(float(results[0]["summary"][k]),
+                                   float(v), rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
