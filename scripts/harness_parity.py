@@ -245,20 +245,55 @@ def run_ours(model: str, npz_dir: str, epochs: int, seed: int,
 # 6. compare
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# PRE-REGISTERED PROTOCOL (committed 2026-08-20, BEFORE the round-5 rerun of
+# SASREC and TGAT — git history is the timestamp). The round-4 verdict flagged
+# a forking-paths pattern: SASREC's band was widened (3 seeds/25 ep -> 5/30)
+# and TGAT's dataset was re-drawn (data_seed 777) AFTER each first band
+# missed. This block fixes one uniform protocol for EVERY model, in advance:
+#
+#   seeds      = (9876, 1234, 555, 42, 7)   five model seeds per model
+#   epochs     = 30                          runme.sh's horizon
+#   band       = [min - 0.03, max + 0.03] over the 5 seeds
+#   data_seed  = 20260818                    the ORIGINAL draw (not 777)
+#
+# Statistical note, fixed in advance: the reference contributes ONE
+# fixed-model-seed sample (src/main.py:157 hardcodes its seed) against our
+# 5-seed band; with 384 eval rows the binomial sigma of an H@k metric is
+# ~0.020-0.025, so +-0.03 beyond the seed min/max is a ~1.5-sigma guard and
+# a per-metric false-miss probability of roughly 5-15% is EXPECTED by
+# chance across a 6-metric row. Commitment: a miss under this protocol is
+# REPORTED AS A MISS (with its margin), never re-drawn or re-banded; the
+# honest summary is then the count of misses vs the count expected by
+# chance. Changing any constant below requires re-running every model.
+PROTOCOL = {
+    "seeds": "9876,1234,555,42,7",
+    "epochs": 30,
+    "tol": 0.03,
+    "data_seed": 20260818,
+}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--models", default="GRU4REC,EasyDGL")
-    p.add_argument("--epochs", type=int, default=30)
-    p.add_argument("--seeds", default="9876,1234,555")
-    p.add_argument("--tol", type=float, default=0.03,
+    p.add_argument("--epochs", type=int, default=PROTOCOL["epochs"])
+    p.add_argument("--seeds", default=PROTOCOL["seeds"])
+    p.add_argument("--tol", type=float, default=PROTOCOL["tol"],
                    help="slack added around our seed band (metric units)")
     p.add_argument("--keep", help="persist intermediate files here")
-    p.add_argument("--data_seed", type=int, default=20260818,
-                   help="dataset draw: vary for an independent sample of "
-                        "BOTH sides (the reference CLI's model seed is "
-                        "hardcoded at src/main.py:157, so re-drawing the "
-                        "data is the only way to resample its run)")
+    p.add_argument("--data_seed", type=int, default=PROTOCOL["data_seed"],
+                   help="dataset draw (pre-registered; overriding it "
+                        "leaves the pre-registered protocol and must be "
+                        "reported as exploratory)")
     args = p.parse_args(argv)
+    off_protocol = (args.epochs != PROTOCOL["epochs"]
+                    or args.seeds != PROTOCOL["seeds"]
+                    or args.tol != PROTOCOL["tol"]
+                    or args.data_seed != PROTOCOL["data_seed"])
+    if off_protocol:
+        print("NOTE: flags differ from the pre-registered PROTOCOL — "
+              "this run is exploratory, not a parity claim.", flush=True)
 
     tmp = args.keep or tempfile.mkdtemp(prefix="harness_parity_")
     csv_dir = os.path.join(tmp, "csv")
@@ -323,7 +358,9 @@ def main(argv=None):
     for model, k, rv, mean, lo, hi, ok in rows:
         print(f"| {model} | {k} | {rv:.5f} | {mean:.5f} | "
               f"{lo:.5f}..{hi:.5f} | {'yes' if ok else 'NO'} |")
-    summary = {"failures": len(failures), "rows": len(rows), "tmp": tmp}
+    summary = {"failures": len(failures), "rows": len(rows), "tmp": tmp,
+               "protocol": "pre-registered" if not off_protocol
+               else "exploratory"}
     print(json.dumps(summary))
     return 1 if failures else 0
 
