@@ -33,6 +33,13 @@ TRAINING is O(T * block) as well — no (T, T) residual is ever saved:
   seq_units chain), so neither backward pass needs cross-block state
   beyond O(T) carries.
 
+Block contractions run in the caller's compute dtype with f32
+accumulation (the mxu_einsum convention, nn/layers.py:55); under f32 it
+reproduces the previous unconditional-f32 math exactly. Softmax stats,
+exp/mask math, and all accumulators stay f32 regardless. (Measured
+neutral on the EasyDGL-LC step wall-clock — the step is bound elsewhere;
+kept for convention consistency with every other contraction site.)
+
 Semantics are the XLA module path's (nn/temporal.py::MAU) bit-for-bit up
 to float reassociation: the finite -2^32+1 mask constant is kept, so
 fully-masked (left-pad) rows softmax to UNIFORM over the real keys
@@ -98,12 +105,23 @@ def _unblocks(x, axis):
     return y.reshape(shape)
 
 
+def _mm(eq, a, b, mdt):
+    """Block contraction in the caller's compute dtype with f32
+    accumulation — the framework's mxu_einsum convention
+    (nn/layers.py:55). mdt == f32 reproduces the original
+    unconditional-f32 math exactly, so the f32 equality locks are
+    unchanged; bf16 operands hit the native MXU rate (measured neutral
+    on the EasyDGL-LC step wall-clock, which is bound elsewhere —
+    kept for convention consistency)."""
+    return jnp.einsum(eq, a.astype(mdt), b.astype(mdt),
+                      preferred_element_type=F32)
+
+
 def _masked_logits(qf, kb_j, kmb_j, j, *, scale, causal, tk, bk, qpos):
     """One (Tq, bk) logits block with TF mask semantics: real masked keys
     get the finite -2^32+1 constant (dead rows -> uniform), alignment
     padding gets -1e38 (never contributes)."""
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kb_j,
-                   preferred_element_type=F32) * scale
+    s = _mm("bhqd,bhkd->bhqk", qf, kb_j, qf.dtype) * scale
     kpos = j * bk + jnp.arange(bk)
     mask = (kmb_j > 0)[:, None, None, :]
     if causal:
@@ -146,14 +164,15 @@ def _fwd_impl(q, k, v, t, km, iv, oh, wd, bd, w, scaling, seed,
     scale = 1.0 / (dh ** 0.5)
     nb = -(-tk // bk)
     tkp = nb * bk
-    qf = q.astype(F32)
+    mdt = q.dtype  # the projections' compute dtype (bf16 in LC presets)
+    qf = q
     qpos = jnp.arange(tq)
 
-    kb = _blocks(_pad_tail(k.astype(F32), 2, tkp), 2, bk)
-    vb = _blocks(_pad_tail(v.astype(F32), 2, tkp), 2, bk)
-    tb = _blocks(_pad_tail(t.astype(F32), 2, tkp), 2, bk)
+    kb = _blocks(_pad_tail(k, 2, tkp), 2, bk)
+    vb = _blocks(_pad_tail(v, 2, tkp), 2, bk)
+    tb = _blocks(_pad_tail(t, 2, tkp), 2, bk)
     kmb = _blocks(_pad_tail(km.astype(F32), 1, tkp), 1, bk)
-    ohb = _blocks(_pad_tail(oh.astype(F32), 1, tkp), 1, bk)
+    ohb = _blocks(_pad_tail(oh.astype(mdt), 1, tkp), 1, bk)
     blk_ids = jnp.arange(nb)
 
     # ---- sweep 1: online softmax stats + seq_units ----
@@ -166,8 +185,7 @@ def _fwd_impl(q, k, v, t, km, iv, oh, wd, bd, w, scaling, seed,
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        su = su * corr + jnp.einsum("bhqk,bhkd->bhqd", p, tb_j,
-                                    preferred_element_type=F32)
+        su = su * corr + _mm("bhqk,bhkd->bhqd", p, tb_j, mdt)
         return (m_new, l, su), None
 
     init = (jnp.full((b, h, tq, 1), PAD_NEG, F32),
@@ -191,15 +209,13 @@ def _fwd_impl(q, k, v, t, km, iv, oh, wd, bd, w, scaling, seed,
         s, _ = _masked_logits(qf, kb_j, kmb_j, j, scale=scale, causal=causal,
                               tk=tk, bk=bk, qpos=qpos)
         p = jnp.exp(s - m) / l
-        iqk = jnp.einsum("bhqe,bke->bhqk", lam, ohb_j,
-                         preferred_element_type=F32)
+        iqk = _mm("bhqe,bke->bhqk", lam, ohb_j, mdt)
         if diag_reset:
             iqk = _diag_patch(iqk, j, bk=bk, qpos=qpos)
         mod = iqk * p
         if rate > 0.0:
             mod = mod * _keep_mask(seed, j, mod.shape, rate)
-        return acc + jnp.einsum("bhqk,bhkd->bhqd", mod, vb_j,
-                                preferred_element_type=F32), None
+        return acc + _mm("bhqk,bhkd->bhqd", mod, vb_j, mdt), None
 
     out, _ = jax.lax.scan(sweep2, jnp.zeros((b, h, tq, dh), F32),
                           (kb, vb, ohb, kmb, blk_ids))
@@ -226,14 +242,15 @@ def _mau_blocked_bwd(causal, diag_reset, rate, bk, res, cts):
     scale = 1.0 / (dh ** 0.5)
     nb = -(-tk // bk)
     tkp = nb * bk
-    qf = q.astype(F32)
+    mdt = q.dtype
+    qf = q
     qpos = jnp.arange(tq)
 
-    kb = _blocks(_pad_tail(k.astype(F32), 2, tkp), 2, bk)
-    vb = _blocks(_pad_tail(v.astype(F32), 2, tkp), 2, bk)
-    tb = _blocks(_pad_tail(t.astype(F32), 2, tkp), 2, bk)
+    kb = _blocks(_pad_tail(k, 2, tkp), 2, bk)
+    vb = _blocks(_pad_tail(v, 2, tkp), 2, bk)
+    tb = _blocks(_pad_tail(t, 2, tkp), 2, bk)
     kmb = _blocks(_pad_tail(km.astype(F32), 1, tkp), 1, bk)
-    ohb = _blocks(_pad_tail(oh.astype(F32), 1, tkp), 1, bk)
+    ohb = _blocks(_pad_tail(oh.astype(mdt), 1, tkp), 1, bk)
     blk_ids = jnp.arange(nb)
 
     g_out_f = g_out.astype(F32)
@@ -247,20 +264,16 @@ def _mau_blocked_bwd(causal, diag_reset, rate, bk, res, cts):
                               tk=tk, bk=bk, qpos=qpos)
         p = jnp.exp(s - m) / l
         keep = (_keep_mask(seed, j, p.shape, rate) if rate > 0.0 else 1.0)
-        iqk = jnp.einsum("bhqe,bke->bhqk", lam, ohb_j,
-                         preferred_element_type=F32)
+        iqk = _mm("bhqe,bke->bhqk", lam, ohb_j, mdt)
         if diag_reset:
             iqk = _diag_patch(iqk, j, bk=bk, qpos=qpos)
         modd = iqk * p * keep
-        g_v_j = jnp.einsum("bhqk,bhqd->bhkd", modd, g_out_f,
-                           preferred_element_type=F32)
-        g_mod = jnp.einsum("bhqd,bhkd->bhqk", g_out_f, vb_j,
-                           preferred_element_type=F32)
+        g_v_j = _mm("bhqk,bhqd->bhkd", modd, g_out_f, mdt)
+        g_mod = _mm("bhqd,bhkd->bhqk", g_out_f, vb_j, mdt)
         g_iqk = g_mod * p * keep
         if diag_reset:  # the diagonal is the constant 1, not lambda
             g_iqk = _diag_patch(g_iqk, j, bk=bk, qpos=qpos, zero=True)
-        g_lam_acc = g_lam_acc + jnp.einsum("bhqk,bke->bhqe", g_iqk, ohb_j,
-                                           preferred_element_type=F32)
+        g_lam_acc = g_lam_acc + _mm("bhqk,bke->bhqe", g_iqk, ohb_j, mdt)
         return g_lam_acc, g_v_j
 
     g_lam_total, g_v_b = jax.lax.scan(
@@ -286,23 +299,17 @@ def _mau_blocked_bwd(causal, diag_reset, rate, bk, res, cts):
                                  causal=causal, tk=tk, bk=bk, qpos=qpos)
         p = jnp.exp(s - m) / l
         keep = (_keep_mask(seed, j, p.shape, rate) if rate > 0.0 else 1.0)
-        iqk = jnp.einsum("bhqe,bke->bhqk", lam, ohb_j,
-                         preferred_element_type=F32)
+        iqk = _mm("bhqe,bke->bhqk", lam, ohb_j, mdt)
         if diag_reset:
             iqk = _diag_patch(iqk, j, bk=bk, qpos=qpos)
-        g_mod = jnp.einsum("bhqd,bhkd->bhqk", g_out_f, vb_j,
-                           preferred_element_type=F32)
-        g_p = g_mod * keep * iqk + jnp.einsum("bhqd,bhkd->bhqk", g_su, tb_j,
-                                              preferred_element_type=F32)
+        g_mod = _mm("bhqd,bhkd->bhqk", g_out_f, vb_j, mdt)
+        g_p = g_mod * keep * iqk + _mm("bhqd,bhkd->bhqk", g_su, tb_j, mdt)
         # grads through masked logits are exactly zero (the reference's
         # ``where`` does the same, including on fully-masked rows)
         g_s = jnp.where(mask, p * (g_p - rho), 0.0) * scale
-        g_q_acc = g_q_acc + jnp.einsum("bhqk,bhkd->bhqd", g_s, kb_j,
-                                       preferred_element_type=F32)
-        g_k_j = jnp.einsum("bhqk,bhqd->bhkd", g_s, qf,
-                           preferred_element_type=F32)
-        g_t_j = jnp.einsum("bhqk,bhqd->bhkd", p, g_su,
-                           preferred_element_type=F32)
+        g_q_acc = g_q_acc + _mm("bhqk,bhkd->bhqd", g_s, kb_j, mdt)
+        g_k_j = _mm("bhqk,bhqd->bhkd", g_s, qf, mdt)
+        g_t_j = _mm("bhqk,bhqd->bhkd", p, g_su, mdt)
         return g_q_acc, (g_k_j, g_t_j)
 
     g_q, (g_k_b, g_t_b) = jax.lax.scan(
