@@ -40,12 +40,14 @@ def kernel_enabled(cfg: Config) -> bool:
 def mau_impl(cfg: Config) -> str:
     """MAU/BiMAU implementation for the self-modulating models
     (CTSMA/EasyDGL). ``attention_impl == "flash"`` is the framework's
-    long-context switch; for this family it selects the blocked two-sweep
-    schedule (kernels/mau_blocked.py) — O(T * block) memory like the MHA
-    family's flash kernel. Otherwise the fused Pallas chain kernel when
+    long-context switch; for this family it selects the two-sweep
+    schedule — O(T * block) memory like the MHA family's flash kernel —
+    as Pallas kernels (kernels/mau_streamed.py) when kernels are enabled,
+    else the blockwise-XLA scans (kernels/mau_blocked.py, the same math
+    on any backend). Otherwise the fused Pallas chain kernel when
     kernels are enabled, else the materialized XLA chain."""
     if cfg.attention_impl == "flash":
-        return "blocked"
+        return "streamed" if kernel_enabled(cfg) else "blocked"
     return "fused" if kernel_enabled(cfg) else "xla"
 
 

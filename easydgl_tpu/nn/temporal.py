@@ -452,8 +452,11 @@ class MAU(nn.Module):
     # "xla" (materialized einsum chain) | "fused" (whole-chain Pallas
     # kernel, kernels/mau_attention.py) | "blocked" (key-block-streaming
     # two-sweep schedule, kernels/mau_blocked.py — O(T * block) memory,
-    # the single-chip LONG-CONTEXT mode; models select it under
-    # cfg.attention_impl == "flash"). A standalone intensity-head-only
+    # the single-chip LONG-CONTEXT mode) | "streamed" (the same two-sweep
+    # decomposition as Pallas kernels, kernels/mau_streamed.py — the
+    # long-context mode when kernels are enabled; models select
+    # streamed/blocked under cfg.attention_impl == "flash" by
+    # models/base.py::mau_impl). A standalone intensity-head-only
     # kernel existed through round 2 but was production-unreachable once
     # the full-chain kernel landed, and was deleted (round-3 keep-or-
     # delete; the chain kernel covers every accelerated call site).
@@ -593,6 +596,33 @@ class MAU(nn.Module):
                 cp_mesh, seq_axis=seq_ax, causal=causality,
                 diag_reset=self.diag_reset, dropout_rate=rate,
                 data_axis=cp_mesh.axis_names[0])
+            return merge_heads(out4) + q_res, mark_intensity
+
+        if self.intensity_impl == "streamed" and qpos_i is None:
+            # single-chip long context, Pallas engine: the same two-sweep
+            # decomposition as "blocked" but with every (Tq, Tk) tile kept
+            # in VMEM (kernels/mau_streamed.py) — the scan version's
+            # per-block temporaries round-trip HBM and cap it at ~4% of
+            # the MXU rate. Gathered-query calls fall through like the
+            # blocked mode. interpret=True on CPU so the module is
+            # host-testable (the HLO interpreter has no Mosaic).
+            from easydgl_tpu.kernels.mau_streamed import mau_streamed
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            out4, mark_intensity = mau_streamed(
+                split_heads(qq, h), split_heads(kk, h),
+                split_heads(vv, h), split_heads(tt, h),
+                key_mask, intervals, mark_onehot.astype(jnp.float32),
+                self.intensity_kernel, self.intensity_bias,
+                self.intensity_weight, self.intensity_scaling, seed,
+                causal=causality, diag_reset=self.diag_reset,
+                dropout_rate=rate,
+                interpret=jax.default_backend() == "cpu")
             return merge_heads(out4) + q_res, mark_intensity
 
         if self.intensity_impl == "blocked" and qpos_i is None:
