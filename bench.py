@@ -425,7 +425,7 @@ def measure() -> None:
             _longctx_variant(key)
         longctx["longctx_config"] = (
             "L=2048 bf16: SASREC-LC B=32; EasyDGL-LC B=8 masklen=256 "
-            "(blocked BiMAU); BERT4REC-LC B=32 masklen=256")
+            "(streamed Pallas BiMAU); BERT4REC-LC B=32 masklen=256")
         _emit_phase("longctx", longctx)
 
     print("RESULT " + json.dumps({

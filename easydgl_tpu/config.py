@@ -121,8 +121,10 @@ class Config:
     # (reference semantics, right for L=30); "flash" is the LONG-CONTEXT
     # mode — the MHA family (SASREC & co) streams key blocks through the
     # blockwise Pallas kernel (kernels/flash_attention.py) and the
-    # self-modulating family (CTSMA/EasyDGL) takes the blocked two-sweep
-    # MAU schedule (kernels/mau_blocked.py), both O(T) memory; "factored"
+    # self-modulating family (CTSMA/EasyDGL) takes the two-sweep MAU
+    # schedule — streamed Pallas kernels (kernels/mau_streamed.py) when
+    # use_pallas, else the blockwise-XLA scans (kernels/mau_blocked.py)
+    # — all O(T) memory; "factored"
     # rewrites per-pair coding tensors into per-position factors for the
     # temporal-bias family (TiSASREC interval tables; TGAT/TGREC Bochner
     # features via the cosine angle-addition identity) — exact, O(L*C)
@@ -249,8 +251,10 @@ PRESETS = {
                     mask_seen=True, attention_impl="flash",
                     compute_dtype="bfloat16"),
     # Long-context EasyDGL — the FLAGSHIP at 64x the reference's L=30
-    # ceiling on ONE chip: blocked two-sweep BiMAU (kernels/mau_blocked.py,
-    # O(T * mau_block_k) memory) + the masked objective, whose catalog
+    # ceiling on ONE chip: two-sweep BiMAU (streamed Pallas
+    # kernels/mau_streamed.py under use_pallas — 35 ms/step measured;
+    # blockwise-XLA kernels/mau_blocked.py otherwise, O(T * mau_block_k)
+    # memory both) + the masked objective, whose catalog
     # scoring touches only masklen rows per example (vs every position for
     # the AR protocol — the SASREC-LC step budget's 31%-of-step lever,
     # BASELINE.md). seqslen=2047 -> model length 2048 (EasyDGL consumes
