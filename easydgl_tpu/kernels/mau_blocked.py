@@ -134,8 +134,15 @@ def _masked_logits(qf, kb_j, kmb_j, j, *, scale, causal, tk, bk, qpos):
 
 def _keep_mask(seed, j, shape, rate):
     """Deterministic per-(seed, key-block) keep-mask, identical between
-    the forward sweep and both backward passes."""
-    key = jax.random.fold_in(jax.random.fold_in(jax.random.key(3), seed), j)
+    the forward sweep and both backward passes. Generator follows the
+    config.prng_impl="auto" convention (config.py:149-162): the hardware
+    rbg on accelerators, threefry on CPU (stable test fixtures). The
+    keep-mask tensors are the step's biggest random draws — ~270M
+    bernoullis per (T=2048, B=8) step x3 recomputes; threefry's u32
+    fusions cost ~19 ms/step of the EasyDGL-LC budget, rbg is ~free."""
+    impl = "rbg" if jax.default_backend() != "cpu" else "threefry2x32"
+    key = jax.random.fold_in(
+        jax.random.fold_in(jax.random.key(3, impl=impl), seed), j)
     return jax.random.bernoulli(key, 1.0 - rate, shape) / (1.0 - rate)
 
 
