@@ -170,6 +170,9 @@ LONGCTX_VARIANTS = {
                    "use_pallas": True}, "regressive"),
     "easydgl_lc": ("EasyDGL-LC",
                    {"num_events": 64, "use_pallas": True}, "mau"),
+    "ctsma_lc": ("CTSMA-LC",
+                 {"num_events": 64, "use_pallas": True},
+                 "regressive_entire"),
     "bert4rec_lc": ("BERT4REC-LC", {"use_pallas": True}, "masked"),
 }
 
@@ -425,7 +428,8 @@ def measure() -> None:
             _longctx_variant(key)
         longctx["longctx_config"] = (
             "L=2048 bf16: SASREC-LC B=32; EasyDGL-LC B=8 masklen=256 "
-            "(streamed Pallas BiMAU); BERT4REC-LC B=32 masklen=256")
+            "(streamed Pallas BiMAU); CTSMA-LC B=8 (streamed causal "
+            "MAU); BERT4REC-LC B=32 masklen=256")
         _emit_phase("longctx", longctx)
 
     print("RESULT " + json.dumps({

@@ -265,6 +265,18 @@ PRESETS = {
                      num_heads=8, l2_reg=1e-4, ct_reg=1e-7, mask_seen=True,
                      time_scale=86400.0, attention_impl="flash",
                      compute_dtype="bfloat16"),
+    # Long-context CTSMA — the causal self-modulating model at L=2048:
+    # same streamed two-sweep MAU engines as EasyDGL-LC, with the causal
+    # DMA clamps cutting the tile work ~2x (measured fwd+bwd 23.6 vs
+    # 44.2 ms at this shape), but the REGRESSIVE protocol scores every
+    # position against the catalog (the SASREC-LC budget's 31% term), so
+    # B matches SASREC-LC's relay-grant sizing rather than EasyDGL-LC's.
+    "CTSMA-LC": _p("CTSMA", num_units=512, hidden_dropout_rate=0.1,
+                   attention_probs_dropout_rate=0.1, learning_rate=5e-4,
+                   batch_size=8, seqslen=2048, num_blocks=1, num_heads=8,
+                   l2_reg=1e-4, ct_reg=1e-7, mask_seen=True,
+                   time_scale=86400.0, attention_impl="flash",
+                   compute_dtype="bfloat16"),
     # Long-context BERT4REC — the masked-objective counterpart of
     # SASREC-LC: same flash attention core, but the catalog-scoring matmul
     # shrinks by L/masklen = 8x because only masked rows are scored

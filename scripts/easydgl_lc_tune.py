@@ -1,4 +1,5 @@
-"""EasyDGL-LC single-config probe: one (batch_size, mau_block_k) point.
+"""Self-modulating-family LC probe: one (batch_size, mau_block_k) point
+of EasyDGL-LC (default) or CTSMA-LC (pass the preset name as argv[4]).
 
 Run ONE config per process (the axon relay's ~4 GB per-process grant makes
 in-process sweeps measure a contaminated allocator — BASELINE.md round-5
@@ -25,7 +26,10 @@ def main() -> int:
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     block_k = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     nodrop = "nodrop" in sys.argv[3:]
-    out = {"B": b, "mau_block_k": block_k, "dropout": not nodrop}
+    name = next((a for a in sys.argv[3:] if a.endswith("-LC")),
+                "EasyDGL-LC")
+    out = {"preset": name, "B": b, "mau_block_k": block_k,
+           "dropout": not nodrop}
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir",
@@ -39,9 +43,8 @@ def main() -> int:
         from easydgl_tpu.models.registry import build_model
         from easydgl_tpu.train.steps import build_train_step, init_state
 
-        cfg = preset("EasyDGL-LC").replace(num_events=64, use_pallas=True,
-                                           batch_size=b,
-                                           mau_block_k=block_k)
+        cfg = preset(name).replace(num_events=64, use_pallas=True,
+                                   batch_size=b, mau_block_k=block_k)
         if nodrop:  # attribution: isolate dropout-PRNG cost
             cfg = cfg.replace(hidden_dropout_rate=0.0,
                               attention_probs_dropout_rate=0.0)
@@ -50,7 +53,7 @@ def main() -> int:
                              num_items=cfg.num_items,
                              seqslen=cfg.seqslen, seed=0)
         table = synthetic_mark_table(cfg.num_items, cfg.num_events, seed=0)
-        loader = BatchLoader(ds, data_mode="mau",
+        loader = BatchLoader(ds, data_mode=model.data_mode,
                              batch_size=cfg.batch_size,
                              masklen=cfg.masklen, is_training=True,
                              mark_table=table, needs_marks=True)

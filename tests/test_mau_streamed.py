@@ -126,6 +126,43 @@ def test_streamed_dropout_deterministic_and_finite(rng):
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_ctsma_long_context_train_step():
+    """CTSMA-LC preset wiring at L=512 on CPU: loss + grads finite for
+    the causal self-modulating model — the regressive counterpart of
+    test_mau_blocked.py::test_easydgl_long_context_train_step. Runs the
+    any-backend blocked engine (use_pallas unset — full-model Pallas is
+    accelerator-only); the streamed engine itself is locked by the
+    module-level tests above and measured on-chip (BASELINE.md)."""
+    from easydgl_tpu.config import preset
+    from easydgl_tpu.data.loader import BatchLoader
+    from easydgl_tpu.data.synthetic import (synthetic_mark_table,
+                                            synthetic_split)
+    from easydgl_tpu.models.registry import build_model
+    from easydgl_tpu.train.steps import compute_loss
+
+    cfg = preset("CTSMA-LC").replace(
+        num_items=60, seqslen=511, num_units=16, num_heads=2,
+        num_events=E, batch_size=2, compute_dtype="float32")
+    ds = synthetic_split(num_rows=4, num_items=60, seqslen=511, seed=11)
+    table = synthetic_mark_table(60, E, seed=1)
+    model = build_model(cfg)
+    ld = BatchLoader(ds, data_mode=model.data_mode, batch_size=2,
+                     masklen=cfg.masklen, is_training=True, seed=5,
+                     mark_table=table, needs_marks=True)
+    features, labels, _ = next(ld.epoch(0))
+    features = {k: jnp.asarray(v) for k, v in features.items()}
+    labels = jnp.asarray(labels)
+    params = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)},
+                        features, is_training=True)
+    loss, grads = jax.value_and_grad(
+        lambda p: compute_loss(model, p, features, labels,
+                               {"dropout": jax.random.key(2)}))(params)
+    assert np.isfinite(float(loss))
+    assert all(bool(jnp.all(jnp.isfinite(x)))
+               for x in jax.tree.leaves(grads))
+
+
 def test_model_level_streamed_wiring():
     """attention_impl='flash' + use_pallas selects the streamed engine for
     the MAU family (models/base.py::mau_impl)."""
